@@ -1,0 +1,50 @@
+"""The log-density (model) contract.
+
+The reference's single most important design decision is that the model is an
+opaque gradient oracle implementing the ``LogDensityProblems`` API: ``dimension``
+and ``logdensity_and_gradient`` (/root/reference/src/DynamicHMC.jl:18, enforced at
+hamiltonian.jl:146-147). The TPU-native analogue: a model is any JAX-traceable
+scalar function ``q -> logdensity``; the gradient comes from ``jax.value_and_grad``
+and fuses into the leapfrog update under XLA. Models that have a cheaper fused
+value+gradient (e.g. Gaussians, where both are one matmul) can override it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+
+
+@dataclasses.dataclass(frozen=True)
+class LogDensity:
+    """A target log density on R^dim.
+
+    Attributes:
+      dim: dimension of the position vector ``q``.
+      logdensity_fn: traced scalar function ``q -> log p(q)`` (up to a constant).
+      logdensity_and_gradient_fn: optional fused override returning
+        ``(logdensity, gradient)``; defaults to ``jax.value_and_grad``.
+
+    This object is *static* configuration: it is captured in jit closures, not
+    traced. Two instances with the same functions hash equal under jit caching
+    only if the function objects are identical, so construct once and reuse.
+    """
+
+    dim: int
+    logdensity_fn: Callable
+    logdensity_and_gradient_fn: Optional[Callable] = None
+
+    def logdensity(self, q):
+        return self.logdensity_fn(q)
+
+    def logdensity_and_gradient(self, q):
+        if self.logdensity_and_gradient_fn is not None:
+            return self.logdensity_and_gradient_fn(q)
+        return jax.value_and_grad(self.logdensity_fn)(q)
+
+
+def from_logdensity_fn(dim: int, fn: Callable) -> LogDensity:
+    """Wrap a plain ``q -> scalar`` function as a :class:`LogDensity`."""
+    return LogDensity(dim=dim, logdensity_fn=fn)

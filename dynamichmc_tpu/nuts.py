@@ -1,0 +1,234 @@
+"""NUTS: binding the tree algebra to Hamiltonian dynamics.
+
+TPU re-design of /root/reference/src/NUTS.jl (L3): multinomial (biased
+progressive) proposal sampling, the generalized U-turn criterion with the
+three-sub-check robustness fix (NUTS.jl:130-139, Stan discourse #9727),
+divergence bookkeeping, and the single-transition entry point ``sample_tree``
+— all as one jit/vmap-compatible pure function ``(key, state) -> (state, stats)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .hamiltonian import (
+    EvaluatedPoint,
+    PhasePoint,
+    calculate_psharp,
+    joint_logdensity,
+    leapfrog,
+)
+from .logdensity import LogDensity
+from .metric import Metric, rand_p
+from .tree import (
+    TrajectoryOps,
+    biased_progressive_logprob2,
+    random_directions,
+    sample_trajectory,
+)
+from .utils.pytree import pytree_dataclass, tree_where
+
+DEFAULT_MAX_TREE_DEPTH = 10
+"""NUTS.jl:166."""
+
+
+@dataclasses.dataclass(frozen=True)
+class NUTS:
+    """Algorithm configuration (static under jit), cf. NUTS.jl:178-195."""
+
+    max_depth: int = DEFAULT_MAX_TREE_DEPTH
+    min_delta: float = -1000.0
+
+    def __post_init__(self):
+        if not 0 < self.max_depth <= 32:
+            raise ValueError("max_depth must be in 1..32")
+        if not self.min_delta < 0:
+            raise ValueError("min_delta must be negative")
+
+
+@pytree_dataclass
+class GeneralizedTurnStatistic:
+    """Edge momenta/velocities and the momentum sum rho (NUTS.jl:107-118)."""
+
+    p_minus: jnp.ndarray
+    psharp_minus: jnp.ndarray
+    p_plus: jnp.ndarray
+    psharp_plus: jnp.ndarray
+    rho: jnp.ndarray
+
+
+@pytree_dataclass
+class AcceptanceStatistic:
+    """log sum of Metropolis acceptance probabilities + leapfrog step count
+    over all visited leaves, including invalid subtrees (NUTS.jl:59-67)."""
+
+    log_sum_alpha: jnp.ndarray  # scalar
+    steps: jnp.ndarray  # int32 scalar
+
+
+def acceptance_rate(a: AcceptanceStatistic) -> jnp.ndarray:
+    """NUTS.jl:87."""
+    steps = jnp.maximum(a.steps, 1)
+    return jnp.minimum(jnp.exp(a.log_sum_alpha) / steps, 1.0)
+
+
+@pytree_dataclass
+class TreeStatistics:
+    """Per-transition diagnostics, cf. TreeStatisticsNUTS (NUTS.jl:208-221).
+
+    ``term_left``/``term_right`` encode the termination reason like
+    ``InvalidTree``: (1, 0) = reached max depth; left == right = divergence at
+    that position; left < right = turning over those positions.
+    """
+
+    logdensity: jnp.ndarray  # joint log density (negative energy) at proposal
+    depth: jnp.ndarray  # int32
+    term_left: jnp.ndarray  # int32
+    term_right: jnp.ndarray  # int32
+    acceptance_rate: jnp.ndarray
+    steps: jnp.ndarray  # int32, number of leapfrog steps (= gradient evals)
+    directions: jnp.ndarray  # uint32 direction bits
+
+    @property
+    def is_divergent(self):
+        return self.term_left == self.term_right
+
+    @property
+    def reached_max_depth(self):
+        return (self.term_left == 1) & (self.term_right == 0)
+
+    @property
+    def is_turning(self):
+        return ~self.is_divergent & ~self.reached_max_depth
+
+
+def _is_turning(psharp_minus, psharp_plus, rho):
+    """NUTS.jl:130."""
+    return (jnp.dot(psharp_minus, rho) < 0) | (jnp.dot(psharp_plus, rho) < 0)
+
+
+def _combine_turn_statistics(x: GeneralizedTurnStatistic, y: GeneralizedTurnStatistic):
+    """Three-way check of NUTS.jl:132-139; x precedes y in trajectory time.
+
+    Returns (combined statistic, turning flag) — the flag replaces the
+    reference's ``nothing`` return.
+    """
+    t1 = _is_turning(x.psharp_minus, y.psharp_minus, x.rho + y.p_minus)
+    t2 = _is_turning(x.psharp_plus, y.psharp_plus, x.p_plus + y.rho)
+    rho = x.rho + y.rho
+    t3 = _is_turning(x.psharp_minus, y.psharp_plus, rho)
+    combined = GeneralizedTurnStatistic(
+        p_minus=x.p_minus,
+        psharp_minus=x.psharp_minus,
+        p_plus=y.p_plus,
+        psharp_plus=y.psharp_plus,
+        rho=rho,
+    )
+    return combined, t1 | t2 | t3
+
+
+def make_trajectory_ops(
+    ld: LogDensity, metric: Metric, pi0, eps, min_delta
+) -> TrajectoryOps:
+    """Build the TrajectoryOps bundle for one NUTS transition
+    (cf. TrajectoryNUTS, NUTS.jl:15-53, 148-159)."""
+
+    def move(z: PhasePoint, is_forward):
+        signed_eps = jnp.where(is_forward, eps, -eps)
+        return leapfrog(ld, metric, z, signed_eps)
+
+    def leaf(z: PhasePoint, is_initial: bool):
+        if is_initial:
+            delta = jnp.zeros_like(pi0)
+            v = AcceptanceStatistic(
+                log_sum_alpha=jnp.asarray(-jnp.inf, delta.dtype),
+                steps=jnp.int32(0),
+            )
+            divergent = jnp.asarray(False)
+        else:
+            delta = joint_logdensity(metric, z) - pi0
+            v = AcceptanceStatistic(
+                log_sum_alpha=jnp.minimum(delta, 0.0), steps=jnp.int32(1)
+            )
+            divergent = delta < min_delta
+        psharp = calculate_psharp(metric, z)
+        tau = GeneralizedTurnStatistic(
+            p_minus=z.p, psharp_minus=psharp, p_plus=z.p, psharp_plus=psharp, rho=z.p
+        )
+        return z, delta, tau, divergent, v
+
+    def combine_turn(tau_x, tau_y):
+        return _combine_turn_statistics(tau_x, tau_y)
+
+    def calculate_logprob2(is_doubling, w1, w2, w):
+        return biased_progressive_logprob2(is_doubling, w1, w2, w)
+
+    def combine_proposals(key, z1, z2, logprob2, is_forward):
+        # Accept z2 with probability exp(logprob2); the exponential-draw form
+        # is distributionally identical to NUTS.jl:43-45.
+        accept = (logprob2 >= 0) | (jax.random.exponential(key) > -logprob2)
+        return tree_where(accept, z2, z1)
+
+    def combine_visited(a: AcceptanceStatistic, b: AcceptanceStatistic):
+        return AcceptanceStatistic(
+            log_sum_alpha=jnp.logaddexp(a.log_sum_alpha, b.log_sum_alpha),
+            steps=a.steps + b.steps,
+        )
+
+    def visited_identity(v: AcceptanceStatistic):
+        return AcceptanceStatistic(
+            log_sum_alpha=jnp.full_like(v.log_sum_alpha, -jnp.inf),
+            steps=jnp.zeros_like(v.steps),
+        )
+
+    return TrajectoryOps(
+        move=move,
+        leaf=leaf,
+        combine_turn=combine_turn,
+        calculate_logprob2=calculate_logprob2,
+        combine_proposals=combine_proposals,
+        combine_visited=combine_visited,
+        visited_identity=visited_identity,
+    )
+
+
+def sample_tree(
+    key: jax.Array,
+    algorithm: NUTS,
+    ld: LogDensity,
+    metric: Metric,
+    Q: EvaluatedPoint,
+    eps,
+    p: Optional[jnp.ndarray] = None,
+    directions: Optional[jnp.ndarray] = None,
+):
+    """One NUTS transition (NUTS.jl:232-241): draw momentum and direction
+    bits, build the trajectory tree, return (new evaluated position, stats).
+
+    ``p`` and ``directions`` are injectable for deterministic tests.
+    """
+    k_p, k_dir, k_tree = jax.random.split(key, 3)
+    if p is None:
+        p = rand_p(k_p, metric, dtype=Q.q.dtype)
+    if directions is None:
+        directions = random_directions(k_dir)
+    z = PhasePoint(Q=Q, p=p)
+    pi0 = joint_logdensity(metric, z)
+    min_delta = jnp.asarray(algorithm.min_delta, pi0.dtype)
+    ops = make_trajectory_ops(ld, metric, pi0, eps, min_delta)
+    result = sample_trajectory(ops, k_tree, z, algorithm.max_depth, directions)
+    zeta: PhasePoint = result.zeta
+    stats = TreeStatistics(
+        logdensity=joint_logdensity(metric, zeta),
+        depth=result.depth,
+        term_left=result.term_left,
+        term_right=result.term_right,
+        acceptance_rate=acceptance_rate(result.v),
+        steps=result.v.steps,
+        directions=directions,
+    )
+    return zeta.Q, stats
