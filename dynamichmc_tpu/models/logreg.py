@@ -1,0 +1,45 @@
+"""Bayesian logistic regression posterior (BASELINE config 3).
+
+The log density is data-parallel over observations: one (n_obs, dim) matvec
+per evaluation, which XLA maps onto the MXU and fuses with the leapfrog
+elementwise updates — the gradient comes from ``jax.value_and_grad`` through
+the same matmul (the reference's AD-user-side contract, SURVEY.md L0).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import TestModel
+
+
+def logistic_regression(
+    n_obs: int = 1000,
+    dim: int = 25,
+    seed: int = 0,
+    prior_scale: float = 10.0,
+    dtype=jnp.float64,
+) -> TestModel:
+    """Synthetic logistic regression: X ~ N(0, I), true beta ~ N(0, 1),
+    y ~ Bernoulli(sigmoid(X beta)); weakly-informative normal prior."""
+    rng = np.random.RandomState(seed)
+    x_np = rng.randn(n_obs, dim)
+    beta_true = rng.randn(dim)
+    probs = 1 / (1 + np.exp(-(x_np @ beta_true)))
+    y_np = (rng.uniform(size=n_obs) < probs).astype(np.float64)
+
+    x = jnp.asarray(x_np, dtype)
+    y = jnp.asarray(y_np, dtype)
+
+    def logdensity_fn(beta):
+        logits = x.astype(beta.dtype) @ beta
+        # sum of y*logits - log(1 + e^logits), numerically stable
+        loglik = jnp.sum(y.astype(beta.dtype) * logits) - jnp.sum(
+            jnp.logaddexp(0.0, logits)
+        )
+        log_prior = -0.5 * jnp.sum((beta / prior_scale) ** 2)
+        return loglik + log_prior
+
+    return TestModel(dim=dim, logdensity_fn=logdensity_fn)

@@ -1,0 +1,171 @@
+"""Stepsize heuristics and adaptation.
+
+TPU re-design of /root/reference/src/stepsize.jl: the Hoffman–Gelman bracketing
+search for the initial stepsize (stepsize.jl:46-60) becomes a bounded
+``lax.while_loop`` returning a success flag instead of throwing; Nesterov dual
+averaging (stepsize.jl:98-156) is a pure state fold carried through the warmup
+``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .hamiltonian import PhasePoint, joint_logdensity, leapfrog
+from .logdensity import LogDensity
+from .metric import Metric
+from .utils.pytree import pytree_dataclass
+
+
+# --- initial stepsize search --------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class InitialStepsizeSearch:
+    """Bracketing parameters (stepsize.jl:23-36): double/halve the stepsize
+    until the local log acceptance ratio crosses ``log_threshold``."""
+
+    initial_eps: float = 0.1
+    log_threshold: float = math.log(0.8)
+    maxiter_crossing: int = 400
+
+    def __post_init__(self):
+        if not (math.isfinite(self.log_threshold) and self.log_threshold < 0):
+            raise ValueError("log_threshold must be finite and negative")
+        if not (math.isfinite(self.initial_eps) and self.initial_eps > 0):
+            raise ValueError("initial_eps must be finite and positive")
+        if self.maxiter_crossing < 50:
+            raise ValueError("maxiter_crossing must be >= 50")
+
+
+def local_log_acceptance_ratio(ld: LogDensity, metric: Metric, z: PhasePoint):
+    """Return a traced function eps -> A(eps), the uncapped one-step log
+    acceptance ratio around ``z`` (stepsize.jl:75-85)."""
+    l0 = joint_logdensity(metric, z)
+
+    def A(eps):
+        z1 = leapfrog(ld, metric, z, eps)
+        return joint_logdensity(metric, z1) - l0
+
+    return A, l0
+
+
+def find_initial_stepsize(params: InitialStepsizeSearch, A):
+    """Bounded bracketing search (stepsize.jl:46-60).
+
+    Returns ``(eps, success)``; ``success`` is a traced bool that is False if
+    the threshold was never crossed within ``maxiter_crossing`` iterations
+    (the reference throws; jitted code cannot, so callers check the flag on
+    host and raise ``DynamicHMCError`` eagerly).
+    """
+    eps0 = jnp.asarray(params.initial_eps)
+    thr = params.log_threshold
+    a0 = A(eps0)
+    double = a0 > thr
+
+    def cond(carry):
+        return (~carry["found"]) & (carry["it"] < params.maxiter_crossing)
+
+    def body(carry):
+        eps_new = jnp.where(double, carry["eps"] * 2, carry["eps"] / 2)
+        a_new = A(eps_new)
+        crossed = jnp.where(double, a_new < thr, a_new > thr)
+        return {
+            "eps": eps_new,
+            "found": carry["found"] | crossed,
+            "it": carry["it"] + 1,
+        }
+
+    out = jax.lax.while_loop(
+        cond, body, {"eps": eps0, "found": jnp.asarray(False), "it": jnp.int32(0)}
+    )
+    return out["eps"], out["found"]
+
+
+# --- dual averaging -------------------------------------------------------------
+
+
+@pytree_dataclass
+class DualAveragingState:
+    """stepsize.jl:121-127."""
+
+    mu: jnp.ndarray
+    m: jnp.ndarray  # iteration counter, kept as float for the update formulas
+    h_bar: jnp.ndarray
+    log_eps: jnp.ndarray
+    log_eps_bar: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class DualAveraging:
+    """Nesterov dual averaging of log-stepsize toward a target acceptance rate
+    ``delta`` (Hoffman & Gelman 2014, Alg. 6; stepsize.jl:98-117)."""
+
+    delta: float = 0.8
+    gamma: float = 0.05
+    kappa: float = 0.75
+    t0: int = 10
+
+    def __post_init__(self):
+        if not 0 < self.delta < 1:
+            raise ValueError("delta must be in (0, 1)")
+        if not self.gamma > 0:
+            raise ValueError("gamma must be positive")
+        if not 0.5 < self.kappa <= 1:
+            raise ValueError("kappa must be in (0.5, 1]")
+        if self.t0 < 0:
+            raise ValueError("t0 must be non-negative")
+
+    def init(self, eps) -> DualAveragingState:
+        """stepsize.jl:134-138: mu = log(10) + log(eps), m = 1."""
+        log_eps = jnp.log(jnp.asarray(eps))
+        return DualAveragingState(
+            mu=jnp.log(10.0) + log_eps,
+            m=jnp.ones_like(log_eps),
+            h_bar=jnp.zeros_like(log_eps),
+            log_eps=log_eps,
+            log_eps_bar=jnp.zeros_like(log_eps),
+        )
+
+    def update(self, state: DualAveragingState, a) -> DualAveragingState:
+        """stepsize.jl:147-156; ``a`` is the tree-averaged acceptance rate."""
+        a = jnp.clip(a, 0.0, 1.0)
+        m = state.m + 1
+        h_bar = state.h_bar + (self.delta - a - state.h_bar) / (m + self.t0)
+        log_eps = state.mu - jnp.sqrt(m) / self.gamma * h_bar
+        log_eps_bar = state.log_eps_bar + m ** (-self.kappa) * (
+            log_eps - state.log_eps_bar
+        )
+        return DualAveragingState(
+            mu=state.mu, m=m, h_bar=h_bar, log_eps=log_eps, log_eps_bar=log_eps_bar
+        )
+
+    def current(self, state: DualAveragingState):
+        """Stepsize for the next transition while tuning (stepsize.jl:163)."""
+        return jnp.exp(state.log_eps)
+
+    def final(self, state: DualAveragingState):
+        """Averaged stepsize after adaptation (stepsize.jl:170)."""
+        return jnp.exp(state.log_eps_bar)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixedStepsize:
+    """No-op adaptation with the same four-function interface
+    (stepsize.jl:181-189)."""
+
+    def init(self, eps):
+        return jnp.asarray(eps)
+
+    def update(self, state, a):
+        return state
+
+    def current(self, state):
+        return state
+
+    def final(self, state):
+        return state
