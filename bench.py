@@ -1,0 +1,112 @@
+"""Headline benchmark: ESS/sec on the 100-d correlated Gaussian.
+
+North star (BASELINE.json): 4096 vmapped NUTS chains with batched staged
+warmup (Welford variance metric) at > 10x single-core DynamicHMC.jl ESS/sec on
+one TPU chip. The reference publishes no numbers (BASELINE.md), so the
+baseline is measured here: one chain of the same sampler on one CPU core —
+an optimized-native-code proxy for single-core DynamicHMC.jl.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ESS/s", "vs_baseline": N}
+plus human-readable details on stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _ess_per_sec(positions: np.ndarray, seconds: float) -> tuple:
+    """Min/mean pooled bulk-ESS across parameters, per second."""
+    from dynamichmc_tpu.stats import ess_bulk
+
+    c, n, k = positions.shape
+    ess = np.array([ess_bulk(positions[:, :, j]) for j in range(k)])
+    return float(ess.min() / seconds), float(ess.mean() / seconds)
+
+
+def run_tpu(n_chains: int, dim: int, n_samples: int):
+    from dynamichmc_tpu.models import correlated_gaussian
+    from dynamichmc_tpu.parallel import run_chains
+
+    ld = correlated_gaussian(dim, dtype=jnp.float32)
+    # warm-up compile (not timed): tiny sample count, same program shape
+    run_chains(
+        jax.random.PRNGKey(9), ld, n_chains, 8, dtype=jnp.float32
+    ).positions.block_until_ready()
+    t0 = time.perf_counter()
+    res = run_chains(
+        jax.random.PRNGKey(0), ld, n_chains, n_samples, dtype=jnp.float32
+    )
+    res.positions.block_until_ready()
+    seconds = time.perf_counter() - t0
+    positions = np.asarray(res.positions, np.float64)
+    div = int(np.asarray(res.tree_statistics.is_divergent).sum())
+    steps = int(np.asarray(res.tree_statistics.steps, np.int64).sum())
+    return positions, seconds, div, steps
+
+
+def run_cpu_baseline(dim: int, n_samples: int):
+    from dynamichmc_tpu.mcmc import mcmc_with_warmup
+    from dynamichmc_tpu.models import correlated_gaussian
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        ld = correlated_gaussian(dim, dtype=jnp.float32)
+        # compile warm-up
+        mcmc_with_warmup(
+            jax.random.PRNGKey(9), ld, 8, dtype=jnp.float32
+        ).positions.block_until_ready()
+        t0 = time.perf_counter()
+        res = mcmc_with_warmup(
+            jax.random.PRNGKey(1), ld, n_samples, dtype=jnp.float32
+        )
+        res.positions.block_until_ready()
+        seconds = time.perf_counter() - t0
+    return np.asarray(res.positions, np.float64)[None], seconds
+
+
+def main():
+    n_chains = int(os.environ.get("BENCH_CHAINS", 4096))
+    dim = int(os.environ.get("BENCH_DIM", 100))
+    n_samples = int(os.environ.get("BENCH_SAMPLES", 256))
+    backend = jax.default_backend()
+
+    positions, seconds, divergences, steps = run_tpu(n_chains, dim, n_samples)
+    ess_min_rate, ess_mean_rate = _ess_per_sec(positions, seconds)
+    grad_evals_per_sec = steps / seconds
+
+    base_positions, base_seconds = run_cpu_baseline(dim, max(n_samples, 512))
+    base_min_rate, base_mean_rate = _ess_per_sec(base_positions, base_seconds)
+
+    print(
+        f"[bench] backend={backend} chains={n_chains} dim={dim} "
+        f"samples={n_samples} wall={seconds:.2f}s (incl. warmup) "
+        f"divergences={divergences} leapfrog_grad_evals/s={grad_evals_per_sec:.3g}\n"
+        f"[bench] pooled ESS/s: min={ess_min_rate:.4g} mean={ess_mean_rate:.4g}\n"
+        f"[bench] cpu 1-chain baseline ESS/s: min={base_min_rate:.4g} "
+        f"mean={base_mean_rate:.4g} (wall {base_seconds:.2f}s)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "min_pooled_bulk_ESS_per_sec_100d_corr_gaussian_"
+                f"{n_chains}chains",
+                "value": round(ess_min_rate, 3),
+                "unit": "ESS/s",
+                "vs_baseline": round(
+                    ess_min_rate / base_min_rate if base_min_rate else 0.0, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -86,16 +86,25 @@ def mcmc(
     )
 
 
-@functools.lru_cache(maxsize=64)
-def _build_run(
+def make_runner(
     ld: LogDensity,
     algorithm: NUTS,
     stages: Tuple[WarmupStage, ...],
     n_samples: int,
-    collect_warmup_positions: bool,
-    chain_axis: Optional[str],
+    collect_warmup_positions: bool = False,
+    collect_warmup_stats: bool = True,
+    keep_warmup_states: bool = True,
+    chain_axis=None,
 ):
-    """Compile-once runner for (warmup fold + sampling) given static config."""
+    """Pure (warmup fold + sampling) runner ``(key, state) -> (history,
+    final_state, inference)`` for one chain. The building block that
+    ``mcmc_with_warmup`` jits and ``parallel.run_chains`` vmaps/shards.
+
+    For large chain batches set ``collect_warmup_stats=False`` and
+    ``keep_warmup_states=False`` to keep only the stepsize-search results
+    (needed for the host-side failure check) — warmup then carries O(K^2)
+    state instead of O(N_warmup) history per chain.
+    """
 
     def run(key, state: WarmupState):
         warmup_key, sample_key = jax.random.split(key)
@@ -106,15 +115,36 @@ def _build_run(
             stages,
             state,
             collect_positions=collect_warmup_positions,
+            collect_stats=collect_warmup_stats,
             chain_axis=chain_axis,
         )
         # Strip the static stage objects: jit outputs must be pure pytrees of
         # arrays; the caller re-attaches stages.
-        traced_history = [(results, st) for _stage, results, st in history]
+        traced_history = [
+            (results, st if keep_warmup_states else None)
+            for _stage, results, st in history
+        ]
         _, inference = mcmc(sample_key, ld, algorithm, state, n_samples)
         return traced_history, state, inference
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _build_run(
+    ld: LogDensity,
+    algorithm: NUTS,
+    stages: Tuple[WarmupStage, ...],
+    n_samples: int,
+    collect_warmup_positions: bool,
+    chain_axis: Optional[str],
+):
+    """Compile-once single-chain runner."""
+    return jax.jit(
+        make_runner(
+            ld, algorithm, stages, n_samples, collect_warmup_positions, chain_axis
+        )
+    )
 
 
 def mcmc_keep_warmup(

@@ -224,7 +224,8 @@ def warmup_stage(
     stage: WarmupStage,
     state: WarmupState,
     collect_positions: bool = False,
-    chain_axis: Optional[str] = None,
+    collect_stats: bool = True,
+    chain_axis=None,
 ):
     """Run one warmup stage; returns (results, new_state).
 
@@ -264,11 +265,13 @@ def warmup_stage(
         da = adaptation.update(da, stats.acceptance_rate)
         if use_welford:
             wf = welford_update(wf, Q_new.q)
-        out = {
-            "logdensities": Q_new.logdensity,
-            "tree_statistics": stats,
-            "epss": eps,
-        }
+        out = {}
+        if collect_stats:
+            out = {
+                "logdensities": Q_new.logdensity,
+                "tree_statistics": stats,
+                "epss": eps,
+            }
         if collect_positions:
             out["positions"] = Q_new.q
         return (Q_new, da, wf), out
@@ -299,7 +302,8 @@ def run_warmup(
     stages: Tuple[WarmupStage, ...],
     state: WarmupState,
     collect_positions: bool = False,
-    chain_axis: Optional[str] = None,
+    collect_stats: bool = True,
+    chain_axis=None,
 ):
     """Left-fold of warmup stages (mcmc.jl:450-457). Returns
     (list of (stage, results, state-after), final state)."""
@@ -313,6 +317,7 @@ def run_warmup(
             stage,
             state,
             collect_positions=collect_positions,
+            collect_stats=collect_stats,
             chain_axis=chain_axis,
         )
         history.append((stage, results, state))

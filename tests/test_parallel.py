@@ -1,0 +1,118 @@
+"""Batched/sharded chain tests: the tier the reference lacks (SURVEY.md §4).
+
+Cross-chain batch semantics: vmapped chains adapt independently, sharded runs
+produce the same statistics, pooled adaptation synchronizes the metric via
+mesh collectives, and the dryrun entry point compiles + executes the full
+multi-device program on the virtual CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamichmc_tpu import DynamicHMCError, default_warmup_stages
+from dynamichmc_tpu.models import std_normal, mvnormal
+from dynamichmc_tpu.parallel import chain_mesh, init_chain_states, run_chains
+from dynamichmc_tpu.stats import ess_rhat
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_run_chains_vmap_basic():
+    res = run_chains(KEY, std_normal(3), n_chains=4, n_samples=500, dtype=jnp.float64)
+    assert res.positions.shape == (4, 500, 3)
+    assert res.logdensities.shape == (4, 500)
+    assert res.eps.shape == (4,)
+    # chains adapt independently: stepsizes differ
+    eps = np.asarray(res.eps)
+    assert len(np.unique(eps)) == 4
+    st = ess_rhat(np.asarray(res.positions))
+    assert st["rhat"].max() < 1.02
+    qs = np.asarray(res.positions).reshape(-1, 3)
+    assert np.abs(qs.mean(0)).max() < 0.1
+    assert np.abs(qs.std(0) - 1).max() < 0.1
+
+
+def test_run_chains_sharded_matches_stats():
+    mesh = chain_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+    res = run_chains(
+        jax.random.PRNGKey(1),
+        std_normal(3),
+        n_chains=8,
+        n_samples=400,
+        dtype=jnp.float64,
+        mesh=mesh,
+    )
+    assert res.positions.shape == (8, 400, 3)
+    st = ess_rhat(np.asarray(res.positions))
+    assert st["rhat"].max() < 1.02
+    qs = np.asarray(res.positions).reshape(-1, 3)
+    assert np.abs(qs.mean(0)).max() < 0.1
+
+
+def test_pooled_adaptation_synchronizes_metric():
+    mesh = chain_mesh()
+    res = run_chains(
+        jax.random.PRNGKey(2),
+        mvnormal(np.zeros(3), np.diag([0.5, 1.0, 2.0])),
+        n_chains=8,
+        n_samples=100,
+        dtype=jnp.float64,
+        mesh=mesh,
+        warmup_stages=default_warmup_stages(pooled=True),
+    )
+    m_inv = np.asarray(res.metric.m_inv)
+    assert np.allclose(m_inv, m_inv[0])
+    # pooled metric approximates the target variances
+    np.testing.assert_allclose(m_inv[0], [0.5, 1.0, 2.0], rtol=0.5)
+
+
+def test_unpooled_metrics_differ():
+    res = run_chains(
+        jax.random.PRNGKey(3), std_normal(3), n_chains=4, n_samples=50,
+        dtype=jnp.float64,
+    )
+    m_inv = np.asarray(res.metric.m_inv)
+    assert not np.allclose(m_inv[0], m_inv[1])
+
+
+def test_invalid_initial_positions_reported():
+    bad = mvnormal(np.zeros(2), np.eye(2))
+    import dataclasses
+
+    nasty = dataclasses.replace(
+        bad,
+        logdensity_fn=lambda q: jnp.where(q[0] > 0, jnp.nan, -0.5 * q @ q),
+        logdensity_and_gradient_fn=None,
+        sample_fn=None,
+    )
+    with pytest.raises(DynamicHMCError) as err:
+        init_chain_states(jax.random.PRNGKey(4), nasty, 16, dtype=jnp.float64)
+    assert "chains" in err.value.payload
+
+
+def test_chains_divisibility_check():
+    mesh = chain_mesh()
+    with pytest.raises(ValueError):
+        run_chains(KEY, std_normal(2), n_chains=9, n_samples=30, mesh=mesh)
+
+
+def test_dryrun_multichip():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    q, depth, acc = out
+    assert q.shape == (64, 100)
+    assert np.all(np.isfinite(np.asarray(q)))
