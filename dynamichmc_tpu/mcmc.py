@@ -70,17 +70,30 @@ def mcmc(
     algorithm: NUTS,
     state: WarmupState,
     n_samples: int,
+    reporter=None,
 ) -> Tuple[EvaluatedPoint, InferenceResult]:
     """Post-warmup sampling loop (mcmc.jl:366-381) as a ``lax.scan``."""
+    stage_reporter = None
+    if reporter is not None and reporter.wants_step_callbacks:
+        stage_reporter = reporter.make_stage_reporter(
+            n_samples, currently_warmup=False
+        )
 
-    def step(Q, step_key):
+    def step(Q, inp):
+        step_key, step_i = inp
         Q_new, stats = sample_tree(
             step_key, algorithm, ld, state.metric, Q, state.eps
         )
+        if stage_reporter is not None:
+            jax.debug.callback(
+                lambda i: stage_reporter.report_step(int(i)), step_i, ordered=False
+            )
         return Q_new, (Q_new.q, Q_new.logdensity, stats)
 
     keys = jax.random.split(key, n_samples)
-    Q_final, (qs, lds, stats) = jax.lax.scan(step, state.Q, keys)
+    Q_final, (qs, lds, stats) = jax.lax.scan(
+        step, state.Q, (keys, jnp.arange(n_samples))
+    )
     return Q_final, InferenceResult(
         positions=qs, logdensities=lds, tree_statistics=stats
     )
@@ -95,6 +108,7 @@ def make_runner(
     collect_warmup_stats: bool = True,
     keep_warmup_states: bool = True,
     chain_axis=None,
+    reporter=None,
 ):
     """Pure (warmup fold + sampling) runner ``(key, state) -> (history,
     final_state, inference)`` for one chain. The building block that
@@ -117,6 +131,7 @@ def make_runner(
             collect_positions=collect_warmup_positions,
             collect_stats=collect_warmup_stats,
             chain_axis=chain_axis,
+            reporter=reporter,
         )
         # Strip the static stage objects: jit outputs must be pure pytrees of
         # arrays; the caller re-attaches stages.
@@ -124,7 +139,9 @@ def make_runner(
             (results, st if keep_warmup_states else None)
             for _stage, results, st in history
         ]
-        _, inference = mcmc(sample_key, ld, algorithm, state, n_samples)
+        _, inference = mcmc(
+            sample_key, ld, algorithm, state, n_samples, reporter=reporter
+        )
         return traced_history, state, inference
 
     return run
@@ -156,6 +173,7 @@ def mcmc_keep_warmup(
     algorithm: NUTS = NUTS(),
     dtype=jnp.float32,
     collect_warmup_positions: bool = True,
+    reporter=None,
 ):
     """Warmup + sampling, returning every intermediate warmup state
     (mcmc.jl:521-532).
@@ -170,14 +188,27 @@ def mcmc_keep_warmup(
     initial_state = initialize_warmup_state(
         init_key, ld, dtype=dtype, **initialization
     )
-    run = _build_run(
-        ld,
-        algorithm,
-        tuple(warmup_stages),
-        n_samples,
-        collect_warmup_positions,
-        None,
-    )
+    if reporter is None:
+        run = _build_run(
+            ld,
+            algorithm,
+            tuple(warmup_stages),
+            n_samples,
+            collect_warmup_positions,
+            None,
+        )
+    else:
+        # Reporters are stateful host objects: bypass the compile cache.
+        run = jax.jit(
+            make_runner(
+                ld,
+                algorithm,
+                tuple(warmup_stages),
+                n_samples,
+                collect_warmup_positions=collect_warmup_positions,
+                reporter=reporter,
+            )
+        )
     traced_history, final_state, inference = run(run_key, initial_state)
     history = [
         (stage, results, st)
@@ -215,6 +246,7 @@ def mcmc_with_warmup(
     warmup_stages: Optional[Tuple[WarmupStage, ...]] = None,
     algorithm: NUTS = NUTS(),
     dtype=jnp.float32,
+    reporter=None,
 ) -> MCMCResult:
     """NUTS with warmup (mcmc.jl:575-584): returns draws, per-draw tree
     statistics, log densities, and the adapted metric + stepsize."""
@@ -227,6 +259,7 @@ def mcmc_with_warmup(
         algorithm=algorithm,
         dtype=dtype,
         collect_warmup_positions=False,
+        reporter=reporter,
     )
     inference = out["inference"]
     final = out["final_warmup_state"]

@@ -226,11 +226,13 @@ def warmup_stage(
     collect_positions: bool = False,
     collect_stats: bool = True,
     chain_axis=None,
+    reporter=None,
 ):
     """Run one warmup stage; returns (results, new_state).
 
     Jit-compatible (the stage object and flags are static). Results is None
-    for a no-op stage, a dict otherwise.
+    for a no-op stage, a dict otherwise. ``reporter`` (see reporting.py)
+    enables per-transition host callbacks — single-chain interactive use only.
     """
     if stage is None:
         return None, state  # mcmc.jl:99-101
@@ -244,6 +246,14 @@ def warmup_stage(
         z = PhasePoint(Q=state.Q, p=p)
         A, _ = local_log_acceptance_ratio(ld, state.metric, z)
         eps, success = find_initial_stepsize(stage, A)
+        if reporter is not None:
+            jax.debug.callback(
+                lambda e: reporter.report_message(
+                    "found initial stepsize", eps=float(e)
+                ),
+                eps,
+                ordered=False,
+            )
         results = {"eps": eps, "success": success}
         return results, WarmupState(Q=state.Q, metric=state.metric, eps=eps)
 
@@ -258,13 +268,32 @@ def warmup_stage(
         dim, dense=stage.metric_kind == "dense", dtype=state.Q.q.dtype
     )
 
-    def step(carry, step_key):
+    stage_reporter = None
+    if reporter is not None and reporter.wants_step_callbacks:
+        tuning = (
+            "stepsize"
+            if stage.metric_kind == "none"
+            else f"stepsize and {stage.metric_kind} metric"
+        )
+        stage_reporter = reporter.make_stage_reporter(
+            stage.N, currently_warmup=True, tuning=tuning
+        )
+
+    def step(carry, inp):
+        step_key, step_i = inp
         Q, da, wf = carry
         eps = adaptation.current(da)
         Q_new, stats = sample_tree(step_key, algorithm, ld, state.metric, Q, eps)
         da = adaptation.update(da, stats.acceptance_rate)
         if use_welford:
             wf = welford_update(wf, Q_new.q)
+        if stage_reporter is not None:
+            jax.debug.callback(
+                lambda i, e: stage_reporter.report_step(int(i), eps=float(e)),
+                step_i,
+                eps,
+                ordered=False,
+            )
         out = {}
         if collect_stats:
             out = {
@@ -278,7 +307,7 @@ def warmup_stage(
 
     keys = jax.random.split(key, stage.N)
     (Q, da_state, welford), results = jax.lax.scan(
-        step, (state.Q, da_state, welford), keys
+        step, (state.Q, da_state, welford), (keys, jnp.arange(stage.N))
     )
 
     if use_welford:
@@ -304,6 +333,7 @@ def run_warmup(
     collect_positions: bool = False,
     collect_stats: bool = True,
     chain_axis=None,
+    reporter=None,
 ):
     """Left-fold of warmup stages (mcmc.jl:450-457). Returns
     (list of (stage, results, state-after), final state)."""
@@ -319,6 +349,7 @@ def run_warmup(
             collect_positions=collect_positions,
             collect_stats=collect_stats,
             chain_axis=chain_axis,
+            reporter=reporter,
         )
         history.append((stage, results, state))
     return history, state
