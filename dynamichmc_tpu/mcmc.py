@@ -159,7 +159,12 @@ def _build_run(
     """Compile-once single-chain runner."""
     return jax.jit(
         make_runner(
-            ld, algorithm, stages, n_samples, collect_warmup_positions, chain_axis
+            ld,
+            algorithm,
+            stages,
+            n_samples,
+            collect_warmup_positions=collect_warmup_positions,
+            chain_axis=chain_axis,
         )
     )
 

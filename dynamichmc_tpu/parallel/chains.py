@@ -21,6 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import functools
+
+from ..engine import WarmupSchedule, build_programs, execute
 from ..errors import DynamicHMCError
 from ..hamiltonian import evaluate
 from ..logdensity import LogDensity
@@ -106,9 +109,21 @@ def run_chains(
     """
     if warmup_stages is None:
         warmup_stages = default_warmup_stages()
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        if n_chains % n_dev:
+            raise ValueError(
+                f"n_chains={n_chains} not divisible by mesh size {n_dev}"
+            )
     init_key, run_key = jax.random.split(jnp.asarray(key))
     states = init_chain_states(init_key, ld, n_chains, dtype=dtype, **initialization)
     chain_keys = jax.random.split(run_key, n_chains)
+
+    schedule = WarmupSchedule.from_stages(tuple(warmup_stages))
+    if schedule is not None:
+        return _run_chains_fast(
+            schedule, ld, algorithm, n_samples, states, chain_keys, mesh
+        )
 
     lean = dict(
         collect_warmup_positions=False,
@@ -168,4 +183,93 @@ def run_chains(
         tree_statistics=inference.tree_statistics,
         metric=final_states.metric,
         eps=final_states.eps,
+    )
+
+
+# --- fast path: shared dynamically-bounded stage program ------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _fast_programs(
+    ld: LogDensity,
+    algorithm: NUTS,
+    schedule: WarmupSchedule,
+    mesh: Optional[Mesh],
+    sample_chunk: int = 8,
+):
+    """Build + cache the wrapped (vmap [+ shard_map] + jit) program bundle.
+
+    One NUTS tree program for all warmup stages (runtime trip count) and one
+    fixed-chunk sampling program — compile time is independent of both the
+    number of stages and the number of draws.
+    """
+    local_axis = CHAIN_AXIS if mesh is None else LOCAL_CHAIN_AXIS
+    chain_axis = (CHAIN_AXIS,) if mesh is None else (LOCAL_CHAIN_AXIS, CHAIN_AXIS)
+    in_axes_by_kind = {
+        "search": (0, 0, 0),
+        "stage": (0, 0, 0, 0, 0, None, None),
+        "metric": (0,),
+        "sample": (0, 0, 0, 0, None),
+    }
+
+    def wrap(fn, kind):
+        in_axes = in_axes_by_kind[kind]
+        f = jax.vmap(fn, in_axes=in_axes, axis_name=local_axis)
+        if mesh is not None:
+            in_specs = tuple(P(CHAIN_AXIS) if a == 0 else P() for a in in_axes)
+            f = jax.shard_map(
+                f,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=P(CHAIN_AXIS),
+                check_vma=False,
+            )
+        return jax.jit(f)
+
+    return build_programs(
+        ld, algorithm, schedule, chain_axis, wrap, sample_chunk=sample_chunk
+    )
+
+
+def _run_chains_fast(
+    schedule: WarmupSchedule,
+    ld: LogDensity,
+    algorithm: NUTS,
+    n_samples: int,
+    states: WarmupState,
+    chain_keys,
+    mesh: Optional[Mesh],
+    log=None,
+) -> MCMCResult:
+    programs = _fast_programs(ld, algorithm, schedule, mesh)
+    if mesh is not None:
+        spec = NamedSharding(mesh, P(CHAIN_AXIS))
+        chain_keys = jax.device_put(chain_keys, spec)
+        states = jax.device_put(states, spec)
+
+    fold = jax.jit(jax.vmap(jax.random.fold_in, in_axes=(0, None)))
+
+    def key_fold(i):
+        return fold(chain_keys, i)
+
+    metric, eps, search_results, summaries, inference = execute(
+        programs,
+        schedule,
+        key_fold,
+        states.Q,
+        states.metric,
+        states.eps,
+        n_samples,
+        log=log,
+    )
+    if search_results is not None:
+        _check_stepsize_search([(None, search_results, None)])
+    _q_final, positions, logdensities, stats = inference
+    # vmapped sampling stacks the scan axis second: (chains, n_samples, ...)
+    return MCMCResult(
+        positions=positions,
+        logdensities=logdensities,
+        tree_statistics=stats,
+        metric=metric,
+        eps=eps,
     )

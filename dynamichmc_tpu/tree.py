@@ -47,7 +47,12 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .utils.pytree import pytree_dataclass, tree_index, tree_update_index, tree_where
+from .utils.pytree import (
+    pytree_dataclass,
+    tree_select_level,
+    tree_update_level,
+    tree_where,
+)
 
 MAX_DIRECTIONS_DEPTH = 32
 """Direction bits per transition; one uint32 draw (trees.jl:10,19-23)."""
@@ -192,7 +197,7 @@ def _adjacent_tree(ops: TrajectoryOps, key, z, i, depth, is_forward, max_depth: 
         def mbody(carry):
             node, level, _turned, _tl = carry
             zeta2, w2, tau2 = node
-            popped = tree_index(stack, level)
+            popped = tree_select_level(stack, level, max_depth + 1)
             zeta1, w1, tau1 = popped
             tau_c, turning = _combine_turn_in_direction(ops, tau1, tau2, is_forward)
             # First leaf position of the merged subtree of size 2^(level+1)
@@ -234,7 +239,7 @@ def _adjacent_tree(ops: TrajectoryOps, key, z, i, depth, is_forward, max_depth: 
         left = jnp.where(divergent, i_new, turn_left)
         right = i_new
 
-        stack = tree_update_index(carry["stack"], level, node)
+        stack = tree_update_level(carry["stack"], level, node, max_depth + 1)
         res = tree_where(carry["valid"] & ~invalid, node, carry["result"])
 
         return {

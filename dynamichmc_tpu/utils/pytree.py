@@ -62,3 +62,33 @@ def tree_update_index(tree, i, value):
         tree,
         value,
     )
+
+
+def tree_select_level(tree, level, n_levels: int):
+    """Read slot ``level`` of a fixed-size stack via masked selects.
+
+    Equivalent to ``tree_index`` but lowers to dense vector ops instead of a
+    gather: under ``vmap`` the per-lane ``level`` turns dynamic indexing into
+    a scatter/gather, which is a slow path on TPU; an explicit select over the
+    (small, static) level axis keeps the tree hot loop on the VPU.
+    """
+
+    def read(x):
+        out = x[0]
+        for l in range(1, n_levels):
+            out = jnp.where(level == l, x[l], out)
+        return out
+
+    return jax.tree_util.tree_map(read, tree)
+
+
+def tree_update_level(tree, level, value, n_levels: int):
+    """Write ``value`` into stack slot ``level`` via masked selects (see
+    :func:`tree_select_level`)."""
+
+    def write(x, v):
+        v = v.astype(x.dtype) if hasattr(v, "astype") else v
+        rows = [jnp.where(level == l, v, x[l]) for l in range(n_levels)]
+        return jnp.stack(rows, axis=0)
+
+    return jax.tree_util.tree_map(write, tree, value)
