@@ -33,11 +33,18 @@ def _ess_per_sec(positions: np.ndarray, seconds: float) -> tuple:
 def run_tpu(n_chains: int, dim: int, n_samples: int):
     from dynamichmc_tpu.models import correlated_gaussian
     from dynamichmc_tpu.parallel import run_chains
+    from dynamichmc_tpu.stepsize import InitialStepsizeSearch
+    from dynamichmc_tpu.warmup import TuningNUTS
 
     ld = correlated_gaussian(dim, dtype=jnp.float32)
-    # warm-up compile (not timed): tiny sample count, same program shape
+    # warm-up compile (not timed): same shapes/programs, minimal step counts
+    warm_stages = (
+        InitialStepsizeSearch(),
+        TuningNUTS(N=20, metric_kind="diagonal"),
+    )
     run_chains(
-        jax.random.PRNGKey(9), ld, n_chains, 8, dtype=jnp.float32
+        jax.random.PRNGKey(9), ld, n_chains, 8, warmup_stages=warm_stages,
+        dtype=jnp.float32,
     ).positions.block_until_ready()
     t0 = time.perf_counter()
     res = run_chains(
@@ -52,23 +59,31 @@ def run_tpu(n_chains: int, dim: int, n_samples: int):
 
 
 def run_cpu_baseline(dim: int, n_samples: int):
-    from dynamichmc_tpu.mcmc import mcmc_with_warmup
+    """Single chain of the same sampler on one CPU core: the proxy for
+    single-core DynamicHMC.jl (the reference publishes no numbers)."""
     from dynamichmc_tpu.models import correlated_gaussian
+    from dynamichmc_tpu.parallel import run_chains
+    from dynamichmc_tpu.stepsize import InitialStepsizeSearch
+    from dynamichmc_tpu.warmup import TuningNUTS
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         ld = correlated_gaussian(dim, dtype=jnp.float32)
-        # compile warm-up
-        mcmc_with_warmup(
-            jax.random.PRNGKey(9), ld, 8, dtype=jnp.float32
+        warm_stages = (
+            InitialStepsizeSearch(),
+            TuningNUTS(N=20, metric_kind="diagonal"),
+        )
+        run_chains(
+            jax.random.PRNGKey(9), ld, 1, 8, warmup_stages=warm_stages,
+            dtype=jnp.float32,
         ).positions.block_until_ready()
         t0 = time.perf_counter()
-        res = mcmc_with_warmup(
-            jax.random.PRNGKey(1), ld, n_samples, dtype=jnp.float32
+        res = run_chains(
+            jax.random.PRNGKey(1), ld, 1, n_samples, dtype=jnp.float32
         )
         res.positions.block_until_ready()
         seconds = time.perf_counter() - t0
-    return np.asarray(res.positions, np.float64)[None], seconds
+    return np.asarray(res.positions, np.float64), seconds
 
 
 def main():

@@ -110,7 +110,12 @@ def leapfrog(ld: LogDensity, metric: Metric, z: PhasePoint, eps) -> PhasePoint:
     cached in the ``EvaluatedPoint``s. A non-finite gradient at the new point
     propagates into the momentum, is caught by ``joint_logdensity`` and turns
     the leaf divergent — never an error.
+
+    Models may provide ``fused_leapfrog_fn`` (e.g. the single-kernel Pallas
+    Gaussian leapfrog) which replaces the whole step.
     """
+    if ld.fused_leapfrog_fn is not None:
+        return ld.fused_leapfrog_fn(metric, z, eps)
     half = eps / 2
     p_mid = z.p + half * z.Q.grad
     q_new = z.Q.q + eps * psharp(metric, p_mid)

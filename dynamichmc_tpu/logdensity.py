@@ -35,6 +35,11 @@ class LogDensity:
     dim: int
     logdensity_fn: Callable
     logdensity_and_gradient_fn: Optional[Callable] = None
+    fused_leapfrog_fn: Optional[Callable] = None
+    """Optional fused integrator hook ``(metric, z, eps_signed) -> PhasePoint``
+    (e.g. the Pallas Gaussian leapfrog in ops/pallas_leapfrog.py); used by
+    ``hamiltonian.leapfrog`` when present. Must implement the same -inf
+    poisoning semantics as ``evaluate``."""
 
     def logdensity(self, q):
         return self.logdensity_fn(q)

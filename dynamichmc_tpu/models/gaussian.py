@@ -17,12 +17,18 @@ import numpy as np
 from .base import TestModel
 
 
-def _gaussian_model(mean: jnp.ndarray, cov: np.ndarray) -> TestModel:
+def _gaussian_model(mean: jnp.ndarray, cov: np.ndarray, fused: bool = False) -> TestModel:
     mean = jnp.asarray(mean)
     dim = mean.shape[0]
     cov_np = np.asarray(cov, np.float64)
     prec = jnp.asarray(np.linalg.inv(cov_np), mean.dtype)
     chol = jnp.asarray(np.linalg.cholesky(cov_np), mean.dtype)
+
+    fused_leapfrog_fn = None
+    if fused:
+        from ..ops.pallas_leapfrog import make_gaussian_fused_leapfrog
+
+        fused_leapfrog_fn = make_gaussian_fused_leapfrog(prec, mean)
 
     def logdensity_fn(q):
         d = q - mean.astype(q.dtype)
@@ -41,6 +47,7 @@ def _gaussian_model(mean: jnp.ndarray, cov: np.ndarray) -> TestModel:
         dim=dim,
         logdensity_fn=logdensity_fn,
         logdensity_and_gradient_fn=logdensity_and_gradient_fn,
+        fused_leapfrog_fn=fused_leapfrog_fn,
         sample_fn=sample_fn,
         mean_fn=lambda: mean,
         cov_fn=lambda: jnp.asarray(cov_np),
@@ -70,14 +77,15 @@ def std_normal(dim: int, dtype=jnp.float64) -> TestModel:
     )
 
 
-def mvnormal(mean, cov) -> TestModel:
-    """MVN with the given mean and covariance."""
-    return _gaussian_model(jnp.asarray(mean), cov)
+def mvnormal(mean, cov, fused: bool = False) -> TestModel:
+    """MVN with the given mean and covariance. ``fused=True`` attaches the
+    single-kernel Pallas leapfrog (ops/pallas_leapfrog.py)."""
+    return _gaussian_model(jnp.asarray(mean), cov, fused=fused)
 
 
 def correlated_gaussian(
     dim: int, rho: float = 0.8, seed: int = 0, random_rotation: bool = True,
-    dtype=jnp.float64,
+    dtype=jnp.float64, fused: bool = False,
 ) -> TestModel:
     """A dense correlated Gaussian (the BASELINE 100-d benchmark target):
     equicorrelated with coefficient ``rho``, optionally randomly rotated and
@@ -89,7 +97,7 @@ def correlated_gaussian(
         scales = np.exp(rng.uniform(-1, 1, dim))
         base = (q * scales) @ base @ (q * scales).T
     base = (base + base.T) / 2
-    return _gaussian_model(jnp.zeros((dim,), dtype), base)
+    return _gaussian_model(jnp.zeros((dim,), dtype), base, fused=fused)
 
 
 def ill_conditioned_gaussian(

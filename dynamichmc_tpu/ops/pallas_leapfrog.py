@@ -1,0 +1,191 @@
+"""Fused Pallas leapfrog for quadratic (Gaussian) targets.
+
+The BASELINE north star names the leapfrog integrator as the op to fuse: one
+velocity-Verlet step = momentum half-step -> position update -> gradient ->
+half-step (hamiltonian.jl:273-282 in the reference, hamiltonian.py here).
+For a quadratic log density  log p(q) = -0.5 (q - mu)^T Prec (q - mu)  the
+gradient is one matmul, so the WHOLE step — both half-kicks, the drift, the
+gradient (MXU) and the new log density — fits in a single Pallas kernel:
+every (chains, K) array is read from HBM exactly once per leapfrog instead
+of once per XLA fusion.
+
+Batching design: the NUTS transition is written per-chain and vmapped
+(parallel/chains.py). A naive pallas_call inside that function would be
+vmapped into per-chain (1, K) matvecs — useless MXU shapes. Instead the op is
+a ``jax.custom_batching.custom_vmap``: unbatched calls take the pure-JAX
+path (also the test oracle), and the vmap rule dispatches the batched
+(C, K) Pallas kernel, so the kernel sees the full chain batch even though
+the surrounding algorithm is written for one chain.
+
+Numerical-fault semantics are preserved exactly: the returned log density is
+poisoned to -inf outside the kernel under the same rule as ``evaluate``
+(non-finite value or gradient, except a clean -inf).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..hamiltonian import EvaluatedPoint, PhasePoint
+from ..logdensity import LogDensity
+from ..metric import DiagonalMetric
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(q_ref, p_ref, g_ref, minv_ref, eps_ref, prec_ref, mu_ref,
+            qn_ref, pn_ref, gn_ref, ld_ref):
+    """One fused leapfrog for a (BLOCK_C, KP) tile of chains.
+
+    eps is per-chain signed stepsize (BLOCK_C, 1); minv is the per-chain
+    diagonal inverse mass (BLOCK_C, KP); prec is (KP, KP); mu is (1, KP).
+    """
+    q = q_ref[:]
+    p = p_ref[:]
+    g = g_ref[:]
+    eps = eps_ref[:]  # (BLOCK_C, 1)
+    half = 0.5 * eps
+    p_mid = p + half * g
+    q_new = q + eps * (minv_ref[:] * p_mid)
+    d = q_new - mu_ref[:]
+    # gradient of the quadratic log density: -(Prec @ d); Prec symmetric so
+    # row-major (C,K) @ (K,K) hits the MXU directly.
+    pd = jnp.dot(d, prec_ref[:], preferred_element_type=jnp.float32)
+    g_new = -pd
+    ld_ref[:] = -0.5 * jnp.sum(d * pd, axis=1, keepdims=True)
+    gn_ref[:] = g_new
+    qn_ref[:] = q_new
+    pn_ref[:] = p_mid + half * g_new
+
+
+def _batched_pallas_leapfrog(q, p, g, m_inv, eps, prec, mu, block_c: int,
+                             interpret: bool):
+    c, k = q.shape
+    kp = _round_up(k, 128)
+    cp = _round_up(c, block_c)
+
+    def pad2(x, rows, cols):
+        return jnp.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
+
+    qp = pad2(q, cp, kp)
+    pp = pad2(p, cp, kp)
+    gp = pad2(g, cp, kp)
+    mp = pad2(m_inv, cp, kp)
+    ep = jnp.pad(eps[:, None], ((0, cp - c), (0, 0)))
+    prec_p = pad2(prec, kp, kp)
+    mu_p = jnp.pad(mu[None, :], ((0, 0), (0, kp - k)))
+
+    grid = (cp // block_c,)
+    row_spec = pl.BlockSpec((block_c, kp), lambda i: (i, 0),
+                            memory_space=pltpu.ANY if False else pltpu.VMEM)
+    eps_spec = pl.BlockSpec((block_c, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((kp, kp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    mu_spec = pl.BlockSpec((1, kp), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[row_spec, row_spec, row_spec, row_spec, eps_spec, full_spec,
+                  mu_spec],
+        out_specs=[row_spec, row_spec, row_spec, eps_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((cp, kp), q.dtype),
+            jax.ShapeDtypeStruct((cp, kp), q.dtype),
+            jax.ShapeDtypeStruct((cp, kp), q.dtype),
+            jax.ShapeDtypeStruct((cp, 1), q.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * cp * kp * kp + 10 * cp * kp,
+            bytes_accessed=(7 * cp * kp + kp * kp) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qp, pp, gp, mp, ep, prec_p, mu_p)
+    q_new, p_new, g_new, ld = out
+    return (
+        q_new[:c, :k],
+        p_new[:c, :k],
+        g_new[:c, :k],
+        ld[:c, 0],
+    )
+
+
+def make_gaussian_fused_leapfrog(
+    prec: jnp.ndarray,
+    mu: Optional[jnp.ndarray] = None,
+    block_c: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """Build a fused-leapfrog hook for ``LogDensity.fused_leapfrog_fn``.
+
+    ``prec``/``mu`` define log p(q) = -0.5 (q-mu)^T prec (q-mu). Supports
+    per-chain :class:`DiagonalMetric`. Unbatched calls use pure JAX; under
+    ``vmap`` the batched Pallas kernel runs (``interpret=True`` forces the
+    Pallas interpreter — used for CPU tests; default: interpret off-TPU).
+    """
+    prec = jnp.asarray(prec, jnp.float32)
+    k = prec.shape[0]
+    mu = jnp.zeros((k,), jnp.float32) if mu is None else jnp.asarray(mu, jnp.float32)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def reference(q, p, g, m_inv, eps):
+        half = 0.5 * eps
+        p_mid = p + half * g
+        q_new = q + eps * (m_inv * p_mid)
+        d = q_new - mu
+        pd = prec @ d
+        g_new = -pd
+        ld = -0.5 * jnp.dot(d, pd)
+        p_new = p_mid + half * g_new
+        return q_new, p_new, g_new, ld
+
+    @jax.custom_batching.custom_vmap
+    def core(q, p, g, m_inv, eps):
+        return reference(q, p, g, m_inv, eps)
+
+    @core.def_vmap
+    def core_vmap(axis_size, in_batched, q, p, g, m_inv, eps):
+        qb, pb, gb, mb, eb = in_batched
+        # broadcast any unbatched operands to the chain axis
+        if not qb:
+            q = jnp.broadcast_to(q, (axis_size,) + q.shape)
+        if not pb:
+            p = jnp.broadcast_to(p, (axis_size,) + p.shape)
+        if not gb:
+            g = jnp.broadcast_to(g, (axis_size,) + g.shape)
+        if not mb:
+            m_inv = jnp.broadcast_to(m_inv, (axis_size,) + m_inv.shape)
+        if not eb:
+            eps = jnp.broadcast_to(eps, (axis_size,))
+        bc = min(block_c, _round_up(axis_size, 8))
+        out = _batched_pallas_leapfrog(
+            q, p, g, m_inv, eps, prec, mu, bc, interpret
+        )
+        return out, (True, True, True, True)
+
+    def fused_leapfrog(metric, z: PhasePoint, eps_signed) -> PhasePoint:
+        if not isinstance(metric, DiagonalMetric):
+            raise TypeError("fused leapfrog supports DiagonalMetric only")
+        q_new, p_new, g_new, ld = core(
+            z.Q.q, z.p, z.Q.grad, metric.m_inv, eps_signed
+        )
+        # -inf poisoning, identical to hamiltonian.evaluate
+        ok = jnp.isfinite(ld) & jnp.all(jnp.isfinite(g_new))
+        ld = jnp.where(ok | (ld == -jnp.inf), ld, -jnp.inf)
+        return PhasePoint(
+            Q=EvaluatedPoint(q=q_new, logdensity=ld, grad=g_new), p=p_new
+        )
+
+    return fused_leapfrog

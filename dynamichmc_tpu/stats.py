@@ -131,7 +131,7 @@ def ess_tail(x: np.ndarray) -> float:
     return min(lo, hi)
 
 
-def ess_rhat(positions: np.ndarray) -> dict:
+def ess_rhat(positions: np.ndarray, use_native: bool = True) -> dict:
     """Per-parameter bulk/tail ESS and R-hat.
 
     ``positions``: (chains, draws, params) — e.g. a batched
@@ -139,12 +139,22 @@ def ess_rhat(positions: np.ndarray) -> dict:
     stack_posterior_matrices orientation (draws, chains, params) via
     ``from_stacked``.
 
+    Uses the native OpenMP ``fastdiag`` engine when available (built on
+    demand from dynamichmc_tpu/native/fastdiag.cpp; same algorithm, tested
+    for parity against this module), falling back to numpy.
+
     Returns dict of arrays with keys ``ess_bulk``, ``ess_tail``, ``rhat``.
     """
     positions = np.asarray(positions, np.float64)
     if positions.ndim == 2:
         positions = positions[None]
     c, n, k = positions.shape
+    if use_native:
+        from . import native
+
+        out = native.ess_rhat_batch(positions)
+        if out is not None:
+            return out
     out = {
         "ess_bulk": np.empty(k),
         "ess_tail": np.empty(k),
