@@ -30,25 +30,37 @@ def _ess_per_sec(positions: np.ndarray, seconds: float) -> tuple:
     return float(ess.min() / seconds), float(ess.mean() / seconds)
 
 
-def run_tpu(n_chains: int, dim: int, n_samples: int):
+def _stages(metric_kind: str, warm: bool):
+    from dynamichmc_tpu.stepsize import InitialStepsizeSearch
+    from dynamichmc_tpu.warmup import TuningNUTS, default_warmup_stages
+
+    if warm:
+        return (
+            InitialStepsizeSearch(),
+            TuningNUTS(N=20, metric_kind=metric_kind, pooled=True),
+        )
+    return default_warmup_stages(metric_kind=metric_kind, pooled=True)
+
+
+def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str):
     from dynamichmc_tpu.models import correlated_gaussian
     from dynamichmc_tpu.parallel import run_chains
-    from dynamichmc_tpu.stepsize import InitialStepsizeSearch
-    from dynamichmc_tpu.warmup import TuningNUTS
 
     ld = correlated_gaussian(dim, dtype=jnp.float32)
     # warm-up compile (not timed): same shapes/programs, minimal step counts
-    warm_stages = (
-        InitialStepsizeSearch(),
-        TuningNUTS(N=20, metric_kind="diagonal"),
-    )
     run_chains(
-        jax.random.PRNGKey(9), ld, n_chains, 8, warmup_stages=warm_stages,
-        dtype=jnp.float32,
+        jax.random.PRNGKey(9), ld, n_chains, 8,
+        warmup_stages=_stages(metric_kind, warm=True), dtype=jnp.float32,
     ).positions.block_until_ready()
+    log = (
+        (lambda m: print(f"[bench] {m}", file=sys.stderr))
+        if os.environ.get("BENCH_VERBOSE")
+        else None
+    )
     t0 = time.perf_counter()
     res = run_chains(
-        jax.random.PRNGKey(0), ld, n_chains, n_samples, dtype=jnp.float32
+        jax.random.PRNGKey(0), ld, n_chains, n_samples, dtype=jnp.float32,
+        warmup_stages=_stages(metric_kind, warm=False), log=log,
     )
     res.positions.block_until_ready()
     seconds = time.perf_counter() - t0
@@ -58,7 +70,7 @@ def run_tpu(n_chains: int, dim: int, n_samples: int):
     return positions, seconds, div, steps
 
 
-def run_cpu_baseline(dim: int, n_samples: int):
+def run_cpu_baseline(dim: int, n_samples: int, metric_kind: str):
     """Single chain of the same sampler on one CPU core: the proxy for
     single-core DynamicHMC.jl (the reference publishes no numbers)."""
     from dynamichmc_tpu.models import correlated_gaussian
@@ -69,17 +81,14 @@ def run_cpu_baseline(dim: int, n_samples: int):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         ld = correlated_gaussian(dim, dtype=jnp.float32)
-        warm_stages = (
-            InitialStepsizeSearch(),
-            TuningNUTS(N=20, metric_kind="diagonal"),
-        )
         run_chains(
-            jax.random.PRNGKey(9), ld, 1, 8, warmup_stages=warm_stages,
-            dtype=jnp.float32,
+            jax.random.PRNGKey(9), ld, 1, 8,
+            warmup_stages=_stages(metric_kind, warm=True), dtype=jnp.float32,
         ).positions.block_until_ready()
         t0 = time.perf_counter()
         res = run_chains(
-            jax.random.PRNGKey(1), ld, 1, n_samples, dtype=jnp.float32
+            jax.random.PRNGKey(1), ld, 1, n_samples,
+            warmup_stages=_stages(metric_kind, warm=False), dtype=jnp.float32,
         )
         res.positions.block_until_ready()
         seconds = time.perf_counter() - t0
@@ -89,14 +98,19 @@ def run_cpu_baseline(dim: int, n_samples: int):
 def main():
     n_chains = int(os.environ.get("BENCH_CHAINS", 4096))
     dim = int(os.environ.get("BENCH_DIM", 100))
-    n_samples = int(os.environ.get("BENCH_SAMPLES", 256))
+    n_samples = int(os.environ.get("BENCH_SAMPLES", 512))
+    metric_kind = os.environ.get("BENCH_METRIC", "dense")
     backend = jax.default_backend()
 
-    positions, seconds, divergences, steps = run_tpu(n_chains, dim, n_samples)
+    positions, seconds, divergences, steps = run_tpu(
+        n_chains, dim, n_samples, metric_kind
+    )
     ess_min_rate, ess_mean_rate = _ess_per_sec(positions, seconds)
     grad_evals_per_sec = steps / seconds
 
-    base_positions, base_seconds = run_cpu_baseline(dim, max(n_samples, 512))
+    base_positions, base_seconds = run_cpu_baseline(
+        dim, max(n_samples, 512), metric_kind
+    )
     base_min_rate, base_mean_rate = _ess_per_sec(base_positions, base_seconds)
 
     print(
@@ -112,7 +126,7 @@ def main():
         json.dumps(
             {
                 "metric": "min_pooled_bulk_ESS_per_sec_100d_corr_gaussian_"
-                f"{n_chains}chains",
+                f"{n_chains}chains_{metric_kind}metric",
                 "value": round(ess_min_rate, 3),
                 "unit": "ESS/s",
                 "vs_baseline": round(

@@ -148,6 +148,19 @@ def make_runner(
 
 
 @functools.lru_cache(maxsize=64)
+def _fast_single_programs(ld: LogDensity, algorithm: NUTS, schedule, sample_chunk=32):
+    """Single-chain fast-engine program bundle (plain jit, no vmap)."""
+    from .engine import build_programs
+
+    def wrap(fn, kind):
+        return jax.jit(fn)
+
+    return build_programs(
+        ld, algorithm, schedule, None, wrap, sample_chunk=sample_chunk
+    )
+
+
+@functools.lru_cache(maxsize=64)
 def _build_run(
     ld: LogDensity,
     algorithm: NUTS,
@@ -254,7 +267,37 @@ def mcmc_with_warmup(
     reporter=None,
 ) -> MCMCResult:
     """NUTS with warmup (mcmc.jl:575-584): returns draws, per-draw tree
-    statistics, log densities, and the adapted metric + stepsize."""
+    statistics, log densities, and the adapted metric + stepsize.
+
+    When the stage tuple is expressible as a normalized schedule (the default
+    and fixed-stepsize schedules are) and no step-callback reporter is set,
+    runs through the fast engine: one tree-program compilation for the whole
+    warmup, chunked into watchdog-safe dispatches.
+    """
+    from .engine import WarmupSchedule, execute
+
+    stages = tuple(warmup_stages) if warmup_stages is not None else default_warmup_stages()
+    schedule = WarmupSchedule.from_stages(stages)
+    if schedule is not None and reporter is None:
+        init_key, run_key = jax.random.split(jnp.asarray(key))
+        state = initialize_warmup_state(init_key, ld, dtype=dtype, **initialization)
+        programs = _fast_single_programs(ld, algorithm, schedule)
+        key_fold = lambda i: jax.random.fold_in(run_key, i)  # noqa: E731
+        metric, eps, search_results, _summaries, inference = execute(
+            programs, schedule, key_fold, state.Q, state.metric, state.eps,
+            n_samples,
+        )
+        if search_results is not None:
+            _check_stepsize_search([(None, search_results, None)])
+        _q_final, positions, logdensities, stats = inference
+        return MCMCResult(
+            positions=positions,
+            logdensities=logdensities,
+            tree_statistics=stats,
+            metric=metric,
+            eps=eps,
+        )
+
     out = mcmc_keep_warmup(
         key,
         ld,

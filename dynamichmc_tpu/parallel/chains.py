@@ -97,6 +97,7 @@ def run_chains(
     dtype=jnp.float32,
     mesh: Optional[Mesh] = None,
     donate_state: bool = False,
+    log=None,
 ) -> MCMCResult:
     """Run ``n_chains`` independently-warmed NUTS chains, batched on device.
 
@@ -122,7 +123,8 @@ def run_chains(
     schedule = WarmupSchedule.from_stages(tuple(warmup_stages))
     if schedule is not None:
         return _run_chains_fast(
-            schedule, ld, algorithm, n_samples, states, chain_keys, mesh
+            schedule, ld, algorithm, n_samples, states, chain_keys, mesh,
+            log=log,
         )
 
     lean = dict(
@@ -205,14 +207,31 @@ def _fast_programs(
     """
     local_axis = CHAIN_AXIS if mesh is None else LOCAL_CHAIN_AXIS
     chain_axis = (CHAIN_AXIS,) if mesh is None else (LOCAL_CHAIN_AXIS, CHAIN_AXIS)
+    pooled = schedule.pooled
+    # pooled mode keeps the metric UNBATCHED (shared by all chains): the tree
+    # hot loop then reads one (K,)/(K,K) metric instead of a per-chain copy.
+    metric_ax = None if pooled else 0
     in_axes_by_kind = {
-        "search": (0, 0, 0),
-        "stage": (0, 0, 0, 0, 0, None, None),
+        "search": (0, 0, metric_ax),
+        "stage": (0, 0, metric_ax, 0, 0, None, None),
         "metric": (0,),
-        "sample": (0, 0, 0, 0, None),
+        "sample": (0, 0, metric_ax, 0, None),
     }
 
     def wrap(fn, kind):
+        if kind == "metric_shared":
+            # consumes the batched Welford states directly; pools internally
+            # (plus one psum over the mesh axis when sharded); emits ONE
+            # replicated metric.
+            if mesh is not None:
+                fn = jax.shard_map(
+                    fn,
+                    mesh=mesh,
+                    in_specs=(P(CHAIN_AXIS),),
+                    out_specs=P(),
+                    check_vma=False,
+                )
+            return jax.jit(fn)
         in_axes = in_axes_by_kind[kind]
         f = jax.vmap(fn, in_axes=in_axes, axis_name=local_axis)
         if mesh is not None:
@@ -227,7 +246,14 @@ def _fast_programs(
         return jax.jit(f)
 
     return build_programs(
-        ld, algorithm, schedule, chain_axis, wrap, sample_chunk=sample_chunk
+        ld,
+        algorithm,
+        schedule,
+        chain_axis,
+        wrap,
+        sample_chunk=sample_chunk,
+        shared_metric=pooled,
+        mesh_axis=CHAIN_AXIS if (pooled and mesh is not None) else None,
     )
 
 
@@ -242,10 +268,19 @@ def _run_chains_fast(
     log=None,
 ) -> MCMCResult:
     programs = _fast_programs(ld, algorithm, schedule, mesh)
+    metric0 = states.metric
+    if schedule.pooled:
+        # shared-metric mode: one unbatched metric for all chains
+        metric0 = jax.tree_util.tree_map(lambda x: x[0], metric0)
+    Q0, eps0 = states.Q, states.eps
     if mesh is not None:
         spec = NamedSharding(mesh, P(CHAIN_AXIS))
+        rep = NamedSharding(mesh, P())
         chain_keys = jax.device_put(chain_keys, spec)
-        states = jax.device_put(states, spec)
+        Q0 = jax.device_put(Q0, spec)
+        metric0 = jax.device_put(metric0, rep if schedule.pooled else spec)
+        if eps0 is not None:
+            eps0 = jax.device_put(eps0, spec)
 
     fold = jax.jit(jax.vmap(jax.random.fold_in, in_axes=(0, None)))
 
@@ -256,9 +291,9 @@ def _run_chains_fast(
         programs,
         schedule,
         key_fold,
-        states.Q,
-        states.metric,
-        states.eps,
+        Q0,
+        metric0,
+        eps0,
         n_samples,
         log=log,
     )

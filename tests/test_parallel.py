@@ -63,10 +63,11 @@ def test_pooled_adaptation_synchronizes_metric():
         mesh=mesh,
         warmup_stages=default_warmup_stages(pooled=True),
     )
+    # pooled adaptation keeps ONE shared metric (unbatched)
     m_inv = np.asarray(res.metric.m_inv)
-    assert np.allclose(m_inv, m_inv[0])
+    assert m_inv.shape == (3,)
     # pooled metric approximates the target variances
-    np.testing.assert_allclose(m_inv[0], [0.5, 1.0, 2.0], rtol=0.5)
+    np.testing.assert_allclose(m_inv, [0.5, 1.0, 2.0], rtol=0.5)
 
 
 def test_unpooled_metrics_differ():
