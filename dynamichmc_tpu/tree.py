@@ -397,3 +397,241 @@ def sample_trajectory(
     return TrajectoryResult(
         zeta=out["zeta"], v=out["v"], term_left=lo, term_right=hi, depth=out["depth"]
     )
+
+
+# --- fast multinomial driver ----------------------------------------------------
+#
+# Within one adjacent tree, the reference's unbiased progressive sampling
+# (logprob2 = w2 - logaddexp(w1, w2) at every merge, trees.jl:143-161) is
+# EXACTLY multinomial sampling over the tree's leaves with weights exp(Delta):
+# by induction, each merge preserves P(leaf i) = exp(w_i) / sum exp(w).
+# A multinomial over a stream of leaves can be drawn with a running
+# Gumbel-argmax (score_i = Delta_i + Gumbel_i; keep the argmax), so proposals
+# never need to flow through the merge stack at all. The stack then holds
+# ONLY turn statistics — (p_minus, p_plus, rho), three vectors per level
+# instead of a full phase point + five-vector statistic — which cuts the
+# dominant HBM traffic of the batched tree loop by ~3x. The biased combine at
+# each *doubling* (logprob2 = w2 - w1, trees.jl:159-161) remains an explicit
+# Bernoulli between the old tree's proposal and the new subtree's, so the
+# overall proposal distribution is exactly the reference's.
+#
+# The generic driver above remains the semantics oracle (and the detailed-
+# balance test vehicle); the fast driver is validated against it
+# distributionally (tests/test_fast_driver.py).
+
+
+@dataclasses.dataclass(frozen=True)
+class FastTrajectoryOps:
+    """Trajectory interface for the multinomial fast driver.
+
+    leaf(z, is_initial) -> (delta, tau, divergent, v, payload)
+        ``delta`` is the leaf's log weight; ``payload`` is the (small) value
+        returned as the proposal (e.g. position + cached log density /
+        gradient + joint density).
+    """
+
+    move: Callable
+    leaf: Callable
+    combine_turn: Callable
+    combine_visited: Callable
+    visited_identity: Callable
+
+
+def _adjacent_tree_fast(
+    ops: FastTrajectoryOps, key, z, i, depth, is_forward, max_depth: int
+):
+    """Adjacent tree with tau-only merge stack and running Gumbel-argmax
+    proposal selection. Same traversal, early-exit and turn-check points as
+    ``_adjacent_tree``."""
+    delta_t, tau_t, _, v_t, payload_t = ops.leaf(z, False)
+    stack0 = jax.tree_util.tree_map(
+        lambda x: jnp.zeros((max_depth + 1,) + jnp.shape(x), jnp.result_type(x)),
+        tau_t,
+    )
+    step = jnp.where(is_forward, jnp.int32(1), jnp.int32(-1))
+    n_leaves = jnp.int32(1) << depth
+    neg_inf = jnp.asarray(-jnp.inf, jnp.result_type(delta_t))
+
+    def merge_pending(n, stack, tau, i_start, i_new):
+        def mcond(carry):
+            _tau, level, turned, _tl = carry
+            pending = ((n >> level) & jnp.int32(1)) == jnp.int32(1)
+            return pending & ~turned
+
+        def mbody(carry):
+            tau, level, _turned, _tl = carry
+            tau1 = tree_select_level(stack, level, max_depth + 1)
+            tau_c, turning = _combine_turn_in_direction(ops, tau1, tau, is_forward)
+            a = n - (jnp.int32(1) << (level + 1)) + jnp.int32(1)
+            turn_left = i_start + step * (a + jnp.int32(1))
+            new_tau = tree_where(turning, tau, tau_c)
+            return (new_tau, level + jnp.int32(1), turning, turn_left)
+
+        return jax.lax.while_loop(
+            mcond, mbody, (tau, jnp.int32(0), jnp.asarray(False), jnp.int32(0))
+        )
+
+    def cond(carry):
+        return (carry["n"] < n_leaves) & carry["valid"]
+
+    def body(carry):
+        key, kleaf = jax.random.split(carry["key"])
+        z_new = ops.move(carry["z"], is_forward)
+        i_new = carry["i"] + step
+        delta, tau_l, divergent, v_l, payload = ops.leaf(z_new, False)
+        v = ops.combine_visited(carry["v"], v_l)
+
+        # running multinomial draw over non-divergent leaves
+        score = jnp.where(
+            divergent, neg_inf, delta + jax.random.gumbel(kleaf, (), delta.dtype)
+        )
+        take = score > carry["best_score"]
+        best_score = jnp.where(take, score, carry["best_score"])
+        best_payload = tree_where(take, payload, carry["best_payload"])
+        omega = jnp.logaddexp(carry["omega"], jnp.where(divergent, neg_inf, delta))
+
+        tau, level, turned, turn_left = merge_pending(
+            carry["n"], carry["stack"], tau_l, i, i_new
+        )
+        invalid = divergent | (turned & ~divergent)
+        left = jnp.where(divergent, i_new, turn_left)
+
+        stack = tree_update_level(carry["stack"], level, tau, max_depth + 1)
+        tau_res = tree_where(carry["valid"] & ~invalid, tau, carry["tau_result"])
+
+        return {
+            "n": carry["n"] + jnp.int32(1),
+            "z": z_new,
+            "i": i_new,
+            "v": v,
+            "stack": stack,
+            "tau_result": tau_res,
+            "omega": omega,
+            "best_score": best_score,
+            "best_payload": best_payload,
+            "valid": carry["valid"] & ~invalid,
+            "left": jnp.where(invalid, left, carry["left"]),
+            "right": jnp.where(invalid, i_new, carry["right"]),
+            "key": key,
+        }
+
+    init = {
+        "n": jnp.int32(0),
+        "z": z,
+        "i": jnp.asarray(i, jnp.int32),
+        "v": ops.visited_identity(v_t),
+        "stack": stack0,
+        "tau_result": jax.tree_util.tree_map(
+            lambda x: jnp.zeros(jnp.shape(x), jnp.result_type(x)), tau_t
+        ),
+        "omega": neg_inf,
+        "best_score": neg_inf,
+        "best_payload": jax.tree_util.tree_map(
+            lambda x: jnp.zeros(jnp.shape(x), jnp.result_type(x)), payload_t
+        ),
+        "valid": jnp.asarray(True),
+        "left": jnp.int32(0),
+        "right": jnp.int32(0),
+        "key": key,
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    return out
+
+
+def sample_trajectory_fast(
+    ops: FastTrajectoryOps, key, z, max_depth: int, directions
+) -> TrajectoryResult:
+    """Doubling driver over the fast adjacent tree. Semantics identical to
+    :func:`sample_trajectory` for multinomial-within / biased-at-doubling
+    proposal sampling (the NUTS configuration)."""
+    if not 0 < max_depth <= MAX_DIRECTIONS_DEPTH:
+        raise ValueError(f"max_depth must be in 1..{MAX_DIRECTIONS_DEPTH}")
+
+    delta0, tau0, _div0, v0, payload0 = ops.leaf(z, True)
+
+    def cond(carry):
+        return (carry["depth"] < max_depth) & ~carry["terminated"]
+
+    def body(carry):
+        key, kadj, kdouble = jax.random.split(carry["key"], 3)
+        is_forward, dirs = next_direction(carry["directions"])
+        z_edge = tree_where(is_forward, carry["z_plus"], carry["z_minus"])
+        i_edge = jnp.where(is_forward, carry["i_plus"], carry["i_minus"])
+
+        adj = _adjacent_tree_fast(
+            ops, kadj, z_edge, i_edge, carry["depth"], is_forward, max_depth
+        )
+        v = ops.combine_visited(carry["v"], adj["v"])
+        valid = adj["valid"]
+        invalid = ~valid
+
+        z_plus = tree_where(valid & is_forward, adj["z"], carry["z_plus"])
+        i_plus = jnp.where(valid & is_forward, adj["i"], carry["i_plus"])
+        z_minus = tree_where(valid & ~is_forward, adj["z"], carry["z_minus"])
+        i_minus = jnp.where(valid & ~is_forward, adj["i"], carry["i_minus"])
+
+        # biased progressive combine at the doubling (trees.jl:159-161):
+        # accept the new subtree's proposal with prob exp(w_new - w_old)
+        lp2 = adj["omega"] - carry["omega"]
+        accept = (lp2 >= 0) | (jax.random.exponential(kdouble) > -lp2)
+        payload = tree_where(valid & accept, adj["best_payload"], carry["payload"])
+        omega = jnp.where(valid, jnp.logaddexp(carry["omega"], adj["omega"]),
+                          carry["omega"])
+        depth = carry["depth"] + jnp.where(valid, jnp.int32(1), jnp.int32(0))
+
+        tau_c, turning = _combine_turn_in_direction(
+            ops, carry["tau"], adj["tau_result"], is_forward
+        )
+        turning = valid & turning
+        tau = tree_where(valid & ~turning, tau_c, carry["tau"])
+
+        terminated = invalid | turning
+        term_left = jnp.where(
+            invalid, adj["left"], jnp.where(turning, i_minus, carry["term_left"])
+        )
+        term_right = jnp.where(
+            invalid, adj["right"], jnp.where(turning, i_plus, carry["term_right"])
+        )
+
+        return {
+            "z_minus": z_minus,
+            "z_plus": z_plus,
+            "i_minus": i_minus,
+            "i_plus": i_plus,
+            "payload": payload,
+            "omega": omega,
+            "tau": tau,
+            "v": v,
+            "depth": depth,
+            "terminated": terminated,
+            "term_left": term_left,
+            "term_right": term_right,
+            "directions": dirs,
+            "key": key,
+        }
+
+    init = {
+        "z_minus": z,
+        "z_plus": z,
+        "i_minus": jnp.int32(0),
+        "i_plus": jnp.int32(0),
+        "payload": payload0,
+        "omega": delta0,
+        "tau": tau0,
+        "v": v0,
+        "depth": jnp.int32(0),
+        "terminated": jnp.asarray(False),
+        "term_left": TERM_MAX_DEPTH[0],
+        "term_right": TERM_MAX_DEPTH[1],
+        "directions": jnp.asarray(directions, jnp.uint32),
+        "key": key,
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    tl, tr = out["term_left"], out["term_right"]
+    is_sentinel = reached_max_depth(tl, tr)
+    lo = jnp.where(is_sentinel, tl, jnp.minimum(tl, tr))
+    hi = jnp.where(is_sentinel, tr, jnp.maximum(tl, tr))
+    return TrajectoryResult(
+        zeta=out["payload"], v=out["v"], term_left=lo, term_right=hi,
+        depth=out["depth"],
+    )
