@@ -10,6 +10,11 @@ from .funnel import funnel
 from .mixture import mixture
 from .transforms import elongate
 from .logreg import logistic_regression
+from .hierarchical import (
+    eight_schools_centered,
+    eight_schools_noncentered,
+    rosenbrock,
+)
 
 __all__ = [
     "TestModel",
@@ -22,4 +27,7 @@ __all__ = [
     "mixture",
     "elongate",
     "logistic_regression",
+    "eight_schools_noncentered",
+    "eight_schools_centered",
+    "rosenbrock",
 ]

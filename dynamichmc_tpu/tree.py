@@ -475,7 +475,9 @@ def _adjacent_tree_fast(
         return (carry["n"] < n_leaves) & carry["valid"]
 
     def body(carry):
-        key, kleaf = jax.random.split(carry["key"])
+        # per-leaf key via fold_in(adjacent-tree key, leaf counter): cheaper
+        # than splitting a carried key every iteration
+        kleaf = jax.random.fold_in(key, carry["n"])
         z_new = ops.move(carry["z"], is_forward)
         i_new = carry["i"] + step
         delta, tau_l, divergent, v_l, payload = ops.leaf(z_new, False)
@@ -512,7 +514,6 @@ def _adjacent_tree_fast(
             "valid": carry["valid"] & ~invalid,
             "left": jnp.where(invalid, left, carry["left"]),
             "right": jnp.where(invalid, i_new, carry["right"]),
-            "key": key,
         }
 
     init = {
@@ -532,7 +533,6 @@ def _adjacent_tree_fast(
         "valid": jnp.asarray(True),
         "left": jnp.int32(0),
         "right": jnp.int32(0),
-        "key": key,
     }
     out = jax.lax.while_loop(cond, body, init)
     return out
