@@ -352,6 +352,7 @@ def execute(
     target_seconds: float = 12.0,
     max_chunk: int = 200,
     log=None,
+    draw_sink=None,
 ):
     """Run the schedule eagerly, chunking long stages into watchdog-safe
     dispatches with adaptive chunk sizing (the TPU runtime kills single
@@ -433,7 +434,9 @@ def execute(
         if schedule.update_metric[i]:
             metric = programs.metric_updates[schedule.shrinkages[i]](wf)
 
-    # sampling: fixed-size chunks, trimmed to n_samples
+    # sampling: fixed-size chunks, trimmed to n_samples. With a draw_sink the
+    # draws stream to the host chunk-by-chunk (device memory stays O(chunk));
+    # only the (small) per-draw tree statistics are kept on device.
     sample_key = key_fold(len(schedule.block_sizes) + 1)
     n_chunks = -(-n_samples // programs.sample_chunk)
     pieces = []
@@ -441,7 +444,11 @@ def execute(
         Q, qs, lds, stats = programs.sample(
             sample_key, Q, metric, eps, jnp.int32(c * programs.sample_chunk)
         )
-        pieces.append((qs, lds, stats))
+        if draw_sink is not None:
+            draw_sink(c * programs.sample_chunk, qs, lds, stats)
+            pieces.append((None, None, stats))
+        else:
+            pieces.append((qs, lds, stats))
         if log is not None and (c + 1) % 16 == 0:
             jax.block_until_ready(lds)
             log(f"sampling: {(c + 1) * programs.sample_chunk}/{n_samples}")
@@ -452,8 +459,12 @@ def execute(
         out = jnp.concatenate(xs, axis=axis) if len(xs) > 1 else xs[0]
         return jax.lax.slice_in_dim(out, 0, n_samples, axis=axis)
 
-    positions = concat([p[0] for p in pieces])
-    logdensities = concat([p[1] for p in pieces])
+    if draw_sink is None:
+        positions = concat([p[0] for p in pieces])
+        logdensities = concat([p[1] for p in pieces])
+    else:
+        positions = None
+        logdensities = None
     stats = jax.tree_util.tree_map(lambda *xs: concat(list(xs)), *[p[2] for p in pieces])
     inference = (Q, positions, logdensities, stats)
     return metric, eps, search_results, summaries, inference

@@ -98,6 +98,7 @@ def run_chains(
     mesh: Optional[Mesh] = None,
     donate_state: bool = False,
     log=None,
+    draw_sink=None,
 ) -> MCMCResult:
     """Run ``n_chains`` independently-warmed NUTS chains, batched on device.
 
@@ -124,7 +125,7 @@ def run_chains(
     if schedule is not None:
         return _run_chains_fast(
             schedule, ld, algorithm, n_samples, states, chain_keys, mesh,
-            log=log,
+            log=log, draw_sink=draw_sink,
         )
 
     lean = dict(
@@ -266,6 +267,7 @@ def _run_chains_fast(
     chain_keys,
     mesh: Optional[Mesh],
     log=None,
+    draw_sink=None,
 ) -> MCMCResult:
     programs = _fast_programs(ld, algorithm, schedule, mesh)
     metric0 = states.metric
@@ -296,6 +298,7 @@ def _run_chains_fast(
         eps0,
         n_samples,
         log=log,
+        draw_sink=draw_sink,
     )
     if search_results is not None:
         _check_stepsize_search([(None, search_results, None)])

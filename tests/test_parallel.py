@@ -117,3 +117,29 @@ def test_graft_entry_compiles():
     q, depth, acc = out
     assert q.shape == (64, 100)
     assert np.all(np.isfinite(np.asarray(q)))
+
+
+def test_draw_sink_streams_to_memmap(tmp_path):
+    import numpy as _np
+
+    from dynamichmc_tpu.io import MemmapDrawStore
+
+    store = MemmapDrawStore(
+        str(tmp_path / "draws"), n_chains=4, n_samples=60, dim=3,
+        dtype=_np.float64,
+    )
+    res = run_chains(
+        jax.random.PRNGKey(11), std_normal(3), 4, 60, dtype=jnp.float64,
+        draw_sink=store.sink,
+    )
+    store.flush()
+    assert res.positions is None  # draws streamed, not accumulated
+    assert store.written == 60
+    qs = _np.asarray(store.positions)
+    assert qs.shape == (4, 60, 3)
+    assert _np.isfinite(qs).all()
+    # tree statistics still returned on device
+    assert res.tree_statistics.depth.shape == (4, 60)
+    # reopen round-trip
+    again = MemmapDrawStore.open(str(tmp_path / "draws"))
+    _np.testing.assert_array_equal(_np.asarray(again.positions), qs)
