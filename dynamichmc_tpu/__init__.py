@@ -39,6 +39,8 @@ from .warmup import (
     fixed_stepsize_warmup_stages,
     initialize_warmup_state,
 )
+from .diagnostics import EBFMI, summarize_tree_statistics
+from .stats import ess_rhat
 from .mcmc import (
     InferenceResult,
     MCMCResult,
@@ -86,5 +88,8 @@ __all__ = [
     "mcmc_with_warmup",
     "pool_posterior_matrices",
     "stack_posterior_matrices",
+    "EBFMI",
+    "summarize_tree_statistics",
+    "ess_rhat",
     "__version__",
 ]

@@ -64,6 +64,18 @@ class TreeStatisticsSummary:
         return "\n".join(lines)
 
 
+def termination_description(term_left: int, term_right: int) -> str:
+    """Human-readable termination reason, mirroring InvalidTree's display
+    (trees.jl:189-199): divergence at a position, turning over positions, or
+    the reached-max-depth sentinel."""
+    left, right = int(term_left), int(term_right)
+    if left == 1 and right == 0:
+        return "reached maximum depth without divergence or turning"
+    if left == right:
+        return f"divergence at position {left}"
+    return f"turning at positions {left}:{right}"
+
+
 def count_terminations(tree_statistics: TreeStatistics) -> dict:
     """diagnostics.jl:65-80."""
     max_depth = int(np.asarray(tree_statistics.reached_max_depth).sum())

@@ -52,7 +52,7 @@ def make_search_driver(ld: LogDensity, params: InitialStepsizeSearch):
         p = rand_p(key, metric, dtype=Q.q.dtype)
         z = PhasePoint(Q=Q, p=p)
         A, _ = local_log_acceptance_ratio(ld, metric, z)
-        return find_initial_stepsize(params, A)
+        return find_initial_stepsize(params, A, dtype=Q.q.dtype)
 
     return search
 

@@ -54,15 +54,17 @@ def local_log_acceptance_ratio(ld: LogDensity, metric: Metric, z: PhasePoint):
     return A, l0
 
 
-def find_initial_stepsize(params: InitialStepsizeSearch, A):
+def find_initial_stepsize(params: InitialStepsizeSearch, A, dtype=None):
     """Bounded bracketing search (stepsize.jl:46-60).
 
     Returns ``(eps, success)``; ``success`` is a traced bool that is False if
     the threshold was never crossed within ``maxiter_crossing`` iterations
     (the reference throws; jitted code cannot, so callers check the flag on
-    host and raise ``DynamicHMCError`` eagerly).
+    host and raise ``DynamicHMCError`` eagerly). ``dtype`` pins the stepsize
+    dtype to the sampler's (otherwise x64 mode would upcast it and poison the
+    chain state dtype downstream).
     """
-    eps0 = jnp.asarray(params.initial_eps)
+    eps0 = jnp.asarray(params.initial_eps, dtype)
     thr = params.log_threshold
     a0 = A(eps0)
     double = a0 > thr

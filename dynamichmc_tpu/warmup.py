@@ -245,7 +245,7 @@ def warmup_stage(
         p = rand_p(key, state.metric, dtype=state.Q.q.dtype)
         z = PhasePoint(Q=state.Q, p=p)
         A, _ = local_log_acceptance_ratio(ld, state.metric, z)
-        eps, success = find_initial_stepsize(stage, A)
+        eps, success = find_initial_stepsize(stage, A, dtype=state.Q.q.dtype)
         if reporter is not None:
             jax.debug.callback(
                 lambda e: reporter.report_message(
