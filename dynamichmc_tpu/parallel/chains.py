@@ -96,7 +96,6 @@ def run_chains(
     algorithm: NUTS = NUTS(),
     dtype=jnp.float32,
     mesh: Optional[Mesh] = None,
-    donate_state: bool = False,
     log=None,
     draw_sink=None,
 ) -> MCMCResult:

@@ -25,8 +25,6 @@ from .errors import DynamicHMCError
 from .hamiltonian import EvaluatedPoint, PhasePoint, evaluate_strict
 from .logdensity import LogDensity
 from .metric import (
-    DenseMetric,
-    DiagonalMetric,
     Metric,
     dense_metric,
     diagonal_metric,

@@ -172,3 +172,24 @@ def test_vmap_batch1_equals_unbatched():
     np.testing.assert_allclose(
         float(s1.acceptance_rate), float(np.asarray(s1b.acceptance_rate)[0])
     )
+
+
+def test_fixed_directions_injectable():
+    # Deterministic tree construction with injected directions + momentum
+    # (the reference's Directions unit-test hook, trees.jl:16-23).
+    k = 2
+    ld = from_logdensity_fn(k, lambda q: -0.5 * jnp.sum(q**2))
+    metric = identity_metric(k, dtype=jnp.float64)
+    Q0 = evaluate(ld, jnp.asarray([0.5, -0.5]))
+    p0 = jnp.asarray([0.3, 0.7])
+    out = []
+    for _ in range(2):
+        Q1, stats = jax.jit(
+            lambda: sample_tree(
+                KEY, NUTS(), ld, metric, Q0, 0.4, p=p0,
+                directions=jnp.uint32(0b1010101),
+            )
+        )()
+        out.append((np.asarray(Q1.q), int(stats.directions)))
+    np.testing.assert_array_equal(out[0][0], out[1][0])
+    assert out[0][1] == 0b1010101
