@@ -468,3 +468,200 @@ def execute(
     stats = jax.tree_util.tree_map(lambda *xs: concat(list(xs)), *[p[2] for p in pieces])
     inference = (Q, positions, logdensities, stats)
     return metric, eps, search_results, summaries, inference
+
+
+# --- batch-native drivers (tree_batched.py) -------------------------------------
+#
+# The batch-native transition operates on (C, ...) arrays directly with scalar
+# loop counters (see tree_batched.py). These drivers mirror the per-chain ones
+# above but need no vmap: shard_map wraps them directly, per-chain vs pooled
+# metrics are distinguished by array rank, and the Welford fold is written
+# batched.
+
+
+def welford_update_b(state: WelfordState, x):
+    """Batched Welford update: x (C, K), m2 (C, K) or (C, K, K)."""
+    count = state.count + 1
+    delta = x - state.mean
+    mean = state.mean + delta / count[..., None]
+    delta2 = x - mean
+    if state.m2.ndim == 3:
+        m2 = state.m2 + jnp.einsum("ci,cj->cij", delta, delta2)
+    else:
+        m2 = state.m2 + delta * delta2
+    return WelfordState(count=count, mean=mean, m2=m2)
+
+
+def make_search_driver_batched(ld: LogDensity, params: InitialStepsizeSearch):
+    """(key, Q, metric) -> (eps (C,), success (C,)) for a whole batch."""
+    from .tree_batched import _Edge, _joint_b, _leapfrog_b, rand_p_b
+
+    def search(key, Q: EvaluatedPoint, metric: Metric):
+        c, k = Q.q.shape
+        dtype = Q.q.dtype
+        p = rand_p_b(key, metric, (c, k), dtype)
+        z = _Edge(q=Q.q, p=p, grad=Q.grad, ld=Q.logdensity)
+        l0 = _joint_b(metric, z.ld, z.p)
+
+        def A(eps):
+            z1 = _leapfrog_b(ld, metric, z, eps)
+            return _joint_b(metric, z1.ld, z1.p) - l0
+
+        thr = params.log_threshold
+        eps0 = jnp.full((c,), params.initial_eps, dtype)
+        a0 = A(eps0)
+        double = a0 > thr
+
+        def cond(s):
+            return jnp.any(~s["found"]) & (s["it"] < params.maxiter_crossing)
+
+        def body(s):
+            eps_new = jnp.where(double, s["eps"] * 2, s["eps"] / 2)
+            eps_new = jnp.where(s["found"], s["eps"], eps_new)
+            a_new = A(eps_new)
+            crossed = jnp.where(double, a_new < thr, a_new > thr) & ~s["found"]
+            return {
+                "eps": eps_new,
+                "found": s["found"] | crossed,
+                "it": s["it"] + 1,
+            }
+
+        out = jax.lax.while_loop(
+            cond,
+            body,
+            {"eps": eps0, "found": jnp.zeros((c,), bool), "it": jnp.int32(0)},
+        )
+        return out["eps"], out["found"]
+
+    return search
+
+
+def make_stage_driver_batched(
+    ld: LogDensity,
+    algorithm: NUTS,
+    adaptation,
+    dense_welford: bool,
+):
+    """Batch-native resumable tuning-stage program; same contract as
+    make_stage_driver but the whole batch advances in one transition call."""
+    from .tree_batched import sample_tree_batched
+
+    def stage(key, Q: EvaluatedPoint, metric: Metric, da_state, welford, start_i, n_steps):
+        c = Q.q.shape[0]
+        dtype = Q.q.dtype
+
+        def cond(carry):
+            return carry["i"] < start_i + n_steps
+
+        def body(carry):
+            step_key = jax.random.fold_in(key, carry["i"])
+            eps = adaptation.current(carry["da"])
+            Q_new, stats = sample_tree_batched(
+                step_key, algorithm, ld, metric, carry["Q"], eps
+            )
+            da = adaptation.update(carry["da"], stats.acceptance_rate)
+            wf = welford_update_b(carry["wf"], Q_new.q)
+            return {
+                "i": carry["i"] + 1,
+                "Q": Q_new,
+                "da": da,
+                "wf": wf,
+                "acc_sum": carry["acc_sum"] + stats.acceptance_rate,
+                "div": carry["div"] + stats.is_divergent.astype(jnp.int32),
+                "steps": carry["steps"] + stats.steps,
+                "maxd": carry["maxd"] + stats.reached_max_depth.astype(jnp.int32),
+            }
+
+        out = jax.lax.while_loop(
+            cond,
+            body,
+            {
+                "i": jnp.asarray(start_i, jnp.int32),
+                "Q": Q,
+                "da": da_state,
+                "wf": welford,
+                "acc_sum": jnp.zeros((c,), dtype),
+                "div": jnp.zeros((c,), jnp.int32),
+                "steps": jnp.zeros((c,), jnp.int32),
+                "maxd": jnp.zeros((c,), jnp.int32),
+            },
+        )
+        totals = {
+            "acc_sum": out["acc_sum"],
+            "div": out["div"],
+            "steps": out["steps"],
+            "maxd": out["maxd"],
+        }
+        return out["Q"], out["da"], out["wf"], totals
+
+    return stage
+
+
+def make_sampling_driver_batched(ld: LogDensity, algorithm: NUTS, chunk: int):
+    """Batch-native fixed-size sampling chunk; same contract as
+    make_sampling_driver but positions stack as (chunk, C, K) and are
+    transposed to (C, chunk, K) on return."""
+    from .tree_batched import sample_tree_batched
+
+    def sample(key, Q: EvaluatedPoint, metric: Metric, eps, start_i):
+        def step(Q, j):
+            step_key = jax.random.fold_in(key, start_i + j)
+            Q_new, stats = sample_tree_batched(
+                step_key, algorithm, ld, metric, Q, eps
+            )
+            return Q_new, (Q_new.q, Q_new.logdensity, stats)
+
+        Q_final, (qs, lds, stats) = jax.lax.scan(
+            step, Q, jnp.arange(chunk, dtype=jnp.int32)
+        )
+        # scan stacks on axis 0 -> (chunk, C, ...); present as (C, chunk, ...)
+        qs = jnp.swapaxes(qs, 0, 1)
+        lds = jnp.swapaxes(lds, 0, 1)
+        stats = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), stats)
+        return Q_final, qs, lds, stats
+
+    return sample
+
+
+def build_programs_batched(
+    ld: LogDensity,
+    algorithm: NUTS,
+    schedule: WarmupSchedule,
+    wrap: Callable[[Callable, str], Callable],
+    sample_chunk: int = 8,
+    mesh_axis=None,
+):
+    """Batch-native program bundle. ``wrap(fn, kind)`` applies shard_map/jit
+    (no vmap needed). Pooled vs per-chain metrics are carried by array rank;
+    the metric update pools over the leading chain axis (+ mesh psum)."""
+    search = None
+    if schedule.search is not None:
+        search = wrap(make_search_driver_batched(ld, schedule.search), "search")
+    dense = schedule.metric_kind == "dense"
+    stage = wrap(
+        make_stage_driver_batched(
+            ld, algorithm, schedule.adaptation, dense_welford=dense
+        ),
+        "stage",
+    )
+    metric_updates = {}
+    if schedule.metric_kind != "none":
+        for lam in sorted(set(schedule.shrinkages)):
+            if schedule.pooled:
+                metric_updates[lam] = wrap(
+                    make_shared_metric_update(schedule.metric_kind, lam, mesh_axis),
+                    "metric_shared",
+                )
+            else:
+                updater = make_metric_update(schedule.metric_kind, lam, None)
+                metric_updates[lam] = wrap(jax.vmap(updater), "metric")
+    sample = wrap(make_sampling_driver_batched(ld, algorithm, sample_chunk), "sample")
+    return FastPrograms(
+        search=search,
+        stage=stage,
+        metric_updates=metric_updates,
+        sample=sample,
+        sample_chunk=sample_chunk,
+        dense_welford=dense,
+        adaptation=schedule.adaptation,
+    )

@@ -267,8 +267,12 @@ def _run_chains_fast(
     mesh: Optional[Mesh],
     log=None,
     draw_sink=None,
+    batched: bool = True,
 ) -> MCMCResult:
-    programs = _fast_programs(ld, algorithm, schedule, mesh)
+    if batched:
+        programs = _fast_programs_batched(ld, algorithm, schedule, mesh)
+    else:
+        programs = _fast_programs(ld, algorithm, schedule, mesh)
     metric0 = states.metric
     if schedule.pooled:
         # shared-metric mode: one unbatched metric for all chains
@@ -283,10 +287,18 @@ def _run_chains_fast(
         if eps0 is not None:
             eps0 = jax.device_put(eps0, spec)
 
-    fold = jax.jit(jax.vmap(jax.random.fold_in, in_axes=(0, None)))
+    if batched:
+        # one scalar key per step-group drives the whole batch
+        base_key = chain_keys[0]
 
-    def key_fold(i):
-        return fold(chain_keys, i)
+        def key_fold(i):
+            return jax.random.fold_in(base_key, i)
+
+    else:
+        fold = jax.jit(jax.vmap(jax.random.fold_in, in_axes=(0, None)))
+
+        def key_fold(i):
+            return fold(chain_keys, i)
 
     metric, eps, search_results, summaries, inference = execute(
         programs,
@@ -309,4 +321,65 @@ def _run_chains_fast(
         tree_statistics=stats,
         metric=metric,
         eps=eps,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _fast_programs_batched(
+    ld: LogDensity,
+    algorithm: NUTS,
+    schedule: WarmupSchedule,
+    mesh: Optional[Mesh],
+    sample_chunk: int = 8,
+):
+    """Batch-native program bundle (tree_batched.py): no vmap; shard_map
+    wraps the batched functions directly. One scalar key drives each program;
+    under a mesh the device index is folded into it so shards draw
+    independent streams."""
+    from ..engine import build_programs_batched
+
+    pooled = schedule.pooled
+    metric_spec = P() if pooled else P(CHAIN_AXIS)
+    specs_by_kind = {
+        "search": (P(), P(CHAIN_AXIS), metric_spec),
+        "stage": (P(), P(CHAIN_AXIS), metric_spec, P(CHAIN_AXIS), P(CHAIN_AXIS), P(), P()),
+        "metric": (P(CHAIN_AXIS),),
+        "metric_shared": (P(CHAIN_AXIS),),
+        "sample": (P(), P(CHAIN_AXIS), metric_spec, P(CHAIN_AXIS), P()),
+    }
+    out_specs_by_kind = {
+        "search": P(CHAIN_AXIS),
+        "stage": P(CHAIN_AXIS),
+        "metric": P(CHAIN_AXIS),
+        "metric_shared": P(),
+        "sample": P(CHAIN_AXIS),
+    }
+
+    def wrap(fn, kind):
+        if mesh is None:
+            return jax.jit(fn)
+        if kind in ("search", "stage", "sample"):
+            inner = fn
+
+            def fn_with_device_key(key, *rest):
+                key = jax.random.fold_in(key, jax.lax.axis_index(CHAIN_AXIS))
+                return inner(key, *rest)
+
+            fn = fn_with_device_key
+        f = jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=specs_by_kind[kind],
+            out_specs=out_specs_by_kind[kind],
+            check_vma=False,
+        )
+        return jax.jit(f)
+
+    return build_programs_batched(
+        ld,
+        algorithm,
+        schedule,
+        wrap,
+        sample_chunk=sample_chunk,
+        mesh_axis=CHAIN_AXIS if (pooled and mesh is not None) else None,
     )

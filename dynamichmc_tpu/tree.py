@@ -444,8 +444,11 @@ def _adjacent_tree_fast(
     proposal selection. Same traversal, early-exit and turn-check points as
     ``_adjacent_tree``."""
     delta_t, tau_t, _, v_t, payload_t = ops.leaf(z, False)
+    # merge levels reach at most depth <= max_depth - 1, and the completed
+    # tree is stored at slot == depth, so max_depth slots suffice.
+    n_slots = max_depth
     stack0 = jax.tree_util.tree_map(
-        lambda x: jnp.zeros((max_depth + 1,) + jnp.shape(x), jnp.result_type(x)),
+        lambda x: jnp.zeros((n_slots,) + jnp.shape(x), jnp.result_type(x)),
         tau_t,
     )
     step = jnp.where(is_forward, jnp.int32(1), jnp.int32(-1))
@@ -460,7 +463,7 @@ def _adjacent_tree_fast(
 
         def mbody(carry):
             tau, level, _turned, _tl = carry
-            tau1 = tree_select_level(stack, level, max_depth + 1)
+            tau1 = tree_select_level(stack, level, n_slots)
             tau_c, turning = _combine_turn_in_direction(ops, tau1, tau, is_forward)
             a = n - (jnp.int32(1) << (level + 1)) + jnp.int32(1)
             turn_left = i_start + step * (a + jnp.int32(1))
@@ -474,12 +477,14 @@ def _adjacent_tree_fast(
     def cond(carry):
         return (carry["n"] < n_leaves) & carry["valid"]
 
+    i0 = jnp.asarray(i, jnp.int32)
+
     def body(carry):
         # per-leaf key via fold_in(adjacent-tree key, leaf counter): cheaper
         # than splitting a carried key every iteration
         kleaf = jax.random.fold_in(key, carry["n"])
         z_new = ops.move(carry["z"], is_forward)
-        i_new = carry["i"] + step
+        i_new = i0 + step * (carry["n"] + jnp.int32(1))
         delta, tau_l, divergent, v_l, payload = ops.leaf(z_new, False)
         v = ops.combine_visited(carry["v"], v_l)
 
@@ -493,21 +498,18 @@ def _adjacent_tree_fast(
         omega = jnp.logaddexp(carry["omega"], jnp.where(divergent, neg_inf, delta))
 
         tau, level, turned, turn_left = merge_pending(
-            carry["n"], carry["stack"], tau_l, i, i_new
+            carry["n"], carry["stack"], tau_l, i0, i_new
         )
         invalid = divergent | (turned & ~divergent)
         left = jnp.where(divergent, i_new, turn_left)
 
-        stack = tree_update_level(carry["stack"], level, tau, max_depth + 1)
-        tau_res = tree_where(carry["valid"] & ~invalid, tau, carry["tau_result"])
+        stack = tree_update_level(carry["stack"], level, tau, n_slots)
 
         return {
             "n": carry["n"] + jnp.int32(1),
             "z": z_new,
-            "i": i_new,
             "v": v,
             "stack": stack,
-            "tau_result": tau_res,
             "omega": omega,
             "best_score": best_score,
             "best_payload": best_payload,
@@ -519,12 +521,8 @@ def _adjacent_tree_fast(
     init = {
         "n": jnp.int32(0),
         "z": z,
-        "i": jnp.asarray(i, jnp.int32),
         "v": ops.visited_identity(v_t),
         "stack": stack0,
-        "tau_result": jax.tree_util.tree_map(
-            lambda x: jnp.zeros(jnp.shape(x), jnp.result_type(x)), tau_t
-        ),
         "omega": neg_inf,
         "best_score": neg_inf,
         "best_payload": jax.tree_util.tree_map(
@@ -535,6 +533,13 @@ def _adjacent_tree_fast(
         "right": jnp.int32(0),
     }
     out = jax.lax.while_loop(cond, body, init)
+    # the completed tree's turn statistic sits at slot == depth (the final
+    # leaf 2^depth - 1 has exactly `depth` trailing ones): one dynamic read
+    # at exit instead of a per-leaf select in the carry.
+    out["tau_result"] = tree_select_level(
+        out["stack"], jnp.minimum(depth, n_slots - 1), n_slots
+    )
+    out["i"] = i0 + step * out["n"]
     return out
 
 

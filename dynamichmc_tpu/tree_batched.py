@@ -1,0 +1,427 @@
+"""Batch-native NUTS transition: the speed-of-light driver for chain fleets.
+
+The vmapped per-chain drivers (tree.py) pay two structural taxes on TPU:
+(1) loop counters become per-lane values, so the merge stack must be indexed
+with per-lane levels — batched gather/scatter (catastrophic) or masked
+rebuilds of every level (the current fallback, still the dominant HBM
+traffic); (2) vmap's while_loop batching rule selects over the ENTIRE carry
+every iteration.
+
+This driver instead operates on (C, ...) arrays directly, exploiting an
+invariant of the synchronized batched tree walk: all still-active chains
+share the same doubling level ``d`` and leaf counter ``n`` (they start
+together and advance together; finished chains are masked). Therefore:
+
+- loop bounds and merge levels are true SCALARS: the merge stack is stored
+  level-major (S, C, K) and accessed with scalar dynamic_update_slice /
+  dynamic_slice — O(C*K) traffic per merge instead of O(S*C*K);
+- the merge loop runs exactly trailing_ones(n) iterations with zero
+  straggler waste;
+- there is no vmap batching rule in the way: only the masks we write exist.
+
+Proposal semantics are identical to the reference (and to tree.py's fast
+driver): multinomial-within-adjacent-tree via running Gumbel-argmax, biased
+Bernoulli at doublings, three-way generalized U-turn at every merge, -inf
+poisoning of numerical faults, InvalidTree-style termination positions.
+
+RNG: one scalar key drives the whole batched transition (per-leaf keys via
+fold_in of a global leaf counter; (C,)-shaped draws give per-chain
+randomness). This costs one threefry per leaf for ALL chains instead of C,
+at the price of draw-stream dependence on the batch size (documented; the
+per-chain drivers remain for bitwise single-chain reproducibility).
+
+Measured at 4096 chains x 100-d f32 (TPU v5e): ~0.10 ms/leaf vs 0.35 ms for
+the vmapped fast driver and 0.063 ms for a bare leapfrog loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .hamiltonian import EvaluatedPoint
+from .logdensity import LogDensity
+from .metric import DenseMetric, DiagonalMetric, Metric
+from .nuts import NUTS, TreeStatistics
+
+
+# --- batched metric helpers (shared or per-chain) -------------------------------
+
+
+def psharp_b(metric: Metric, p):
+    """M^-1 p for p: (C, K); metric arrays shared or batched."""
+    m = metric.m_inv
+    if isinstance(metric, DiagonalMetric):
+        return p * m  # (K,) broadcasts; (C, K) elementwise
+    if m.ndim == 2:  # shared dense (K, K), symmetric
+        return p @ m
+    return jnp.einsum("cij,cj->ci", m, p)
+
+
+def kinetic_b(metric: Metric, p):
+    """0.5 p^T M^-1 p per chain."""
+    return 0.5 * jnp.sum(p * psharp_b(metric, p), axis=-1)
+
+
+def rand_p_b(key, metric: Metric, shape, dtype):
+    """p ~ N(0, M) for a (C, K) batch."""
+    z = jax.random.normal(key, shape, dtype)
+    if isinstance(metric, DiagonalMetric):
+        w = metric.w_diag
+        return z * w  # (K,) or (C, K)
+    w = metric.w
+    if w.ndim == 2:
+        return z @ w.T
+    return jnp.einsum("cij,cj->ci", w, z)
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _evaluate_b(ld: LogDensity, q):
+    """Batched non-strict evaluation with -inf poisoning (hamiltonian.py
+    semantics)."""
+    value, grad = jax.vmap(ld.logdensity_and_gradient)(q)
+    value = jnp.asarray(value)
+    ok = jnp.isfinite(value) & jnp.all(jnp.isfinite(grad), axis=-1)
+    value = jnp.where(ok | (value == -jnp.inf), value, -jnp.inf)
+    return value, grad
+
+
+def _joint_b(metric, ld_vals, p):
+    k = kinetic_b(metric, p)
+    k = jnp.where(jnp.isfinite(k), k, jnp.inf)
+    return jnp.where(jnp.isfinite(ld_vals), ld_vals - k, -jnp.inf)
+
+
+class _Edge(NamedTuple):
+    q: jnp.ndarray
+    p: jnp.ndarray
+    grad: jnp.ndarray
+    ld: jnp.ndarray
+
+
+def _leapfrog_b(ld, metric, edge: _Edge, eps_signed):
+    half = 0.5 * eps_signed[:, None]
+    p_mid = edge.p + half * edge.grad
+    q_new = edge.q + eps_signed[:, None] * psharp_b(metric, p_mid)
+    ld_new, g_new = _evaluate_b(ld, q_new)
+    p_new = p_mid + half * g_new
+    return _Edge(q=q_new, p=p_new, grad=g_new, ld=ld_new)
+
+
+def _where_edge(c, a: _Edge, b: _Edge) -> _Edge:
+    cc = c[:, None]
+    return _Edge(
+        q=jnp.where(cc, a.q, b.q),
+        p=jnp.where(cc, a.p, b.p),
+        grad=jnp.where(cc, a.grad, b.grad),
+        ld=jnp.where(c, a.ld, b.ld),
+    )
+
+
+def sample_tree_batched(
+    key: jax.Array,
+    algorithm: NUTS,
+    ld: LogDensity,
+    metric: Metric,
+    Q: EvaluatedPoint,  # batched: q (C, K), logdensity (C,), grad (C, K)
+    eps,  # (C,) or scalar
+    directions: Optional[jnp.ndarray] = None,  # (C,) uint32
+):
+    """One NUTS transition for a whole chain batch. Returns (Q', stats)."""
+    C, K = Q.q.shape
+    dtype = Q.q.dtype
+    max_depth = algorithm.max_depth
+    S = max_depth  # merge-stack slots (levels 0..max_depth-1)
+
+    k_p, k_dir, k_tree = jax.random.split(key, 3)
+    p0 = rand_p_b(k_p, metric, (C, K), dtype)
+    if directions is None:
+        directions = jax.random.bits(k_dir, (C,), jnp.uint32)
+    eps = jnp.broadcast_to(jnp.asarray(eps, dtype), (C,))
+    pi0 = _joint_b(metric, Q.logdensity, p0)
+    min_delta = jnp.asarray(algorithm.min_delta, dtype)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+    def turn_checks(pm_x, pp_x, rho_x, pm_y, pp_y, rho_y):
+        """Three-way generalized U-turn (NUTS.jl:132-139) in trajectory-time
+        order (x earlier); psharp folded into the dots."""
+        r1 = rho_x + pm_y
+        t1 = (_dot(pm_x, psharp_b(metric, r1)) < 0) | (
+            _dot(pm_y, psharp_b(metric, r1)) < 0
+        )
+        r2 = pp_x + rho_y
+        t2 = (_dot(pp_x, psharp_b(metric, r2)) < 0) | (
+            _dot(pp_y, psharp_b(metric, r2)) < 0
+        )
+        rho = rho_x + rho_y
+        t3 = (_dot(pm_x, psharp_b(metric, rho)) < 0) | (
+            _dot(pp_y, psharp_b(metric, rho)) < 0
+        )
+        return rho, t1 | t2 | t3
+
+    def combine_dir(tau_first, tau_second, is_fwd):
+        """tau = (p_minus, p_plus, rho); first precedes second in traversal
+        order; swap into time order per lane when moving backward."""
+        pm1, pp1, rho1 = tau_first
+        pm2, pp2, rho2 = tau_second
+        f = is_fwd[:, None]
+        pm_x = jnp.where(f, pm1, pm2)
+        pp_x = jnp.where(f, pp1, pp2)
+        rho_x = jnp.where(f, rho1, rho2)
+        pm_y = jnp.where(f, pm2, pm1)
+        pp_y = jnp.where(f, pp2, pp1)
+        rho_y = jnp.where(f, rho2, rho1)
+        rho, turning = turn_checks(pm_x, pp_x, rho_x, pm_y, pp_y, rho_y)
+        return (pm_x, pp_y, rho), turning
+
+    z0 = _Edge(q=Q.q, p=p0, grad=Q.grad, ld=Q.logdensity)
+
+    def adjacent(carry_key, d, z_edge: _Edge, i_edge, is_fwd, engaged):
+        """Build the depth-d adjacent trees for all engaged lanes."""
+        stack = tuple(
+            jnp.zeros((S, C, K), dtype) for _ in range(3)
+        )  # p_minus, p_plus, rho, level-major
+        step = jnp.where(is_fwd, jnp.int32(1), jnp.int32(-1))
+        n_leaves = jnp.int32(1) << d
+
+        def cond(c):
+            return (c["n"] < n_leaves) & jnp.any(c["building"] & engaged)
+
+        def body(c):
+            kleaf = jax.random.fold_in(carry_key, c["n"])
+            z = _leapfrog_b(ld, metric, c["z"], jnp.where(is_fwd, eps, -eps))
+            i_new = i_edge + step * (c["n"] + jnp.int32(1))
+            pi = _joint_b(metric, z.ld, z.p)
+            delta = pi - pi0
+            divergent = delta < min_delta
+            live = c["building"] & engaged
+
+            # visited statistics (all visited leaves count, NUTS.jl:59-80)
+            v_log = jnp.where(live, jnp.minimum(delta, 0.0), neg_inf)
+            log_sum = jnp.logaddexp(c["log_sum"], v_log)
+            steps = c["steps"] + (live).astype(jnp.int32)
+
+            # running multinomial proposal draw
+            g = jax.random.gumbel(kleaf, (C,), dtype)
+            score = jnp.where(divergent | ~live, neg_inf, delta + g)
+            take = score > c["best_score"]
+            best_score = jnp.where(take, score, c["best_score"])
+            tk = take[:, None]
+            best_q = jnp.where(tk, z.q, c["best_q"])
+            best_ld = jnp.where(take, z.ld, c["best_ld"])
+            best_grad = jnp.where(tk, z.grad, c["best_grad"])
+            best_pi = jnp.where(take, pi, c["best_pi"])
+            omega = jnp.logaddexp(
+                c["omega"], jnp.where(divergent | ~live, neg_inf, delta)
+            )
+
+            # merge pending subtrees: scalar trailing-one levels of n
+            node = (z.p, z.p, z.p)
+            turned = jnp.zeros((C,), bool)
+            turn_left = jnp.zeros((C,), jnp.int32)
+
+            def mcond(mc):
+                _node, level, _turned, _tl = mc
+                return ((c["n"] >> level) & jnp.int32(1)) == jnp.int32(1)
+
+            def mbody(mc):
+                node, level, turned, tl = mc
+                popped = tuple(
+                    jax.lax.dynamic_index_in_dim(s, level, 0, keepdims=False)
+                    for s in c["stack"]
+                )
+                merged, turning = combine_dir(popped, node, is_fwd)
+                first_new_turn = turning & ~turned
+                a = c["n"] - (jnp.int32(1) << (level + 1)) + jnp.int32(1)
+                tl = jnp.where(
+                    first_new_turn, i_edge + step * (a + jnp.int32(1)), tl
+                )
+                # freeze a lane's node once it turned (its tree is discarded)
+                node = tuple(
+                    jnp.where(turned[:, None], old, new)
+                    for old, new in zip(node, merged)
+                )
+                return (node, level + jnp.int32(1), turned | turning, tl)
+
+            node, level, turned, turn_left = jax.lax.while_loop(
+                mcond, mbody, (node, jnp.int32(0), turned, turn_left)
+            )
+            # store the merged subtree at its (scalar) slot: true in-place DUS
+            stack = tuple(
+                jax.lax.dynamic_update_index_in_dim(s, v, level, 0)
+                for s, v in zip(c["stack"], node)
+            )
+
+            invalid = live & (divergent | turned)
+            left = jnp.where(divergent, i_new, turn_left)
+            return {
+                "n": c["n"] + jnp.int32(1),
+                "z": z,
+                "stack": stack,
+                "building": c["building"] & ~(divergent | turned),
+                "log_sum": log_sum,
+                "steps": steps,
+                "omega": omega,
+                "best_score": best_score,
+                "best_q": best_q,
+                "best_ld": best_ld,
+                "best_grad": best_grad,
+                "best_pi": best_pi,
+                "inv_left": jnp.where(invalid, left, c["inv_left"]),
+                "inv_right": jnp.where(invalid, i_new, c["inv_right"]),
+            }
+
+        init = {
+            "n": jnp.int32(0),
+            "z": z_edge,
+            "stack": stack,
+            "building": jnp.ones((C,), bool),
+            "log_sum": jnp.full((C,), -jnp.inf, dtype),
+            "steps": jnp.zeros((C,), jnp.int32),
+            "omega": jnp.full((C,), -jnp.inf, dtype),
+            "best_score": jnp.full((C,), -jnp.inf, dtype),
+            "best_q": jnp.zeros((C, K), dtype),
+            "best_ld": jnp.zeros((C,), dtype),
+            "best_grad": jnp.zeros((C, K), dtype),
+            "best_pi": jnp.zeros((C,), dtype),
+            "inv_left": jnp.zeros((C,), jnp.int32),
+            "inv_right": jnp.zeros((C,), jnp.int32),
+        }
+        out = jax.lax.while_loop(cond, body, init)
+        # the completed tree's turn statistic sits at slot == d
+        tau_tree = tuple(
+            jax.lax.dynamic_index_in_dim(s, jnp.minimum(d, S - 1), 0, keepdims=False)
+            for s in out["stack"]
+        )
+        out["tau_tree"] = tau_tree
+        out["i_end"] = i_edge + step * out["n"]
+        return out
+
+    # --- doubling loop -----------------------------------------------------------
+
+    def cond(c):
+        return (c["d"] < max_depth) & jnp.any(~c["terminated"])
+
+    def body(c):
+        kadj = jax.random.fold_in(k_tree, 2 * c["d"])
+        kdbl = jax.random.fold_in(k_tree, 2 * c["d"] + 1)
+        is_fwd = ((c["dirs"] >> c["d"].astype(jnp.uint32)) & jnp.uint32(1)) == 1
+        engaged = ~c["terminated"]
+        z_edge = _where_edge(is_fwd, c["z_plus"], c["z_minus"])
+        i_edge = jnp.where(is_fwd, c["i_plus"], c["i_minus"])
+
+        adj = adjacent(kadj, c["d"], z_edge, i_edge, is_fwd, engaged)
+        tree_done = adj["building"]  # lanes whose adjacent tree completed
+        valid = engaged & tree_done
+        invalid = engaged & ~tree_done
+
+        log_sum = jnp.logaddexp(c["log_sum"], adj["log_sum"])
+        steps = c["steps"] + adj["steps"]
+
+        fwd_valid = valid & is_fwd
+        bwd_valid = valid & ~is_fwd
+        z_plus = _where_edge(fwd_valid, adj["z"], c["z_plus"])
+        i_plus = jnp.where(fwd_valid, adj["i_end"], c["i_plus"])
+        z_minus = _where_edge(bwd_valid, adj["z"], c["z_minus"])
+        i_minus = jnp.where(bwd_valid, adj["i_end"], c["i_minus"])
+
+        # biased doubling combine
+        lp2 = adj["omega"] - c["omega"]
+        accept = (lp2 >= 0) | (
+            jax.random.exponential(kdbl, (C,), dtype) > -lp2
+        )
+        take = (valid & accept)[:, None]
+        prop_q = jnp.where(take, adj["best_q"], c["prop_q"])
+        prop_ld = jnp.where(valid & accept, adj["best_ld"], c["prop_ld"])
+        prop_grad = jnp.where(take, adj["best_grad"], c["prop_grad"])
+        prop_pi = jnp.where(valid & accept, adj["best_pi"], c["prop_pi"])
+        omega = jnp.where(valid, jnp.logaddexp(c["omega"], adj["omega"]), c["omega"])
+
+        tau_c, turning = combine_dir(c["tau"], adj["tau_tree"], is_fwd)
+        turning = valid & turning
+        keep = (valid & ~turning)[:, None]
+        tau = tuple(
+            jnp.where(keep, new, old) for old, new in zip(c["tau"], tau_c)
+        )
+        depth = c["depth"] + valid.astype(jnp.int32)
+
+        newly_term = invalid | turning
+        term_left = jnp.where(
+            invalid,
+            adj["inv_left"],
+            jnp.where(turning, i_minus, c["term_left"]),
+        )
+        term_left = jnp.where(newly_term, term_left, c["term_left"])
+        term_right = jnp.where(
+            invalid,
+            adj["inv_right"],
+            jnp.where(turning, i_plus, c["term_right"]),
+        )
+        term_right = jnp.where(newly_term, term_right, c["term_right"])
+
+        return {
+            "d": c["d"] + jnp.int32(1),
+            "dirs": c["dirs"],
+            "z_minus": z_minus,
+            "z_plus": z_plus,
+            "i_minus": i_minus,
+            "i_plus": i_plus,
+            "prop_q": prop_q,
+            "prop_ld": prop_ld,
+            "prop_grad": prop_grad,
+            "prop_pi": prop_pi,
+            "omega": omega,
+            "tau": tau,
+            "log_sum": log_sum,
+            "steps": steps,
+            "depth": depth,
+            "terminated": c["terminated"] | newly_term,
+            "term_left": term_left,
+            "term_right": term_right,
+        }
+
+    init = {
+        "d": jnp.int32(0),
+        "dirs": directions,
+        "z_minus": z0,
+        "z_plus": z0,
+        "i_minus": jnp.zeros((C,), jnp.int32),
+        "i_plus": jnp.zeros((C,), jnp.int32),
+        "prop_q": Q.q,
+        "prop_ld": Q.logdensity,
+        "prop_grad": Q.grad,
+        "prop_pi": pi0,
+        "omega": jnp.zeros((C,), dtype),
+        "tau": (p0, p0, p0),
+        "log_sum": jnp.full((C,), -jnp.inf, dtype),
+        "steps": jnp.zeros((C,), jnp.int32),
+        "depth": jnp.zeros((C,), jnp.int32),
+        "terminated": jnp.zeros((C,), bool),
+        "term_left": jnp.ones((C,), jnp.int32),
+        "term_right": jnp.zeros((C,), jnp.int32),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+
+    tl, tr = out["term_left"], out["term_right"]
+    sentinel = (tl == 1) & (tr == 0)
+    lo = jnp.where(sentinel, tl, jnp.minimum(tl, tr))
+    hi = jnp.where(sentinel, tr, jnp.maximum(tl, tr))
+    steps = jnp.maximum(out["steps"], 1)
+    stats = TreeStatistics(
+        logdensity=out["prop_pi"],
+        depth=out["depth"],
+        term_left=lo,
+        term_right=hi,
+        acceptance_rate=jnp.minimum(jnp.exp(out["log_sum"]) / steps, 1.0),
+        steps=out["steps"],
+        directions=directions,
+    )
+    Q_new = EvaluatedPoint(
+        q=out["prop_q"], logdensity=out["prop_ld"], grad=out["prop_grad"]
+    )
+    return Q_new, stats

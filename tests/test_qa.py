@@ -11,7 +11,7 @@ from dynamichmc_tpu import NUTS, default_warmup_stages, from_logdensity_fn
 from dynamichmc_tpu.engine import WarmupSchedule
 from dynamichmc_tpu.models import std_normal
 from dynamichmc_tpu.parallel import run_chains
-from dynamichmc_tpu.parallel.chains import _fast_programs
+from dynamichmc_tpu.parallel.chains import _fast_programs_batched
 
 
 def test_stage_program_compiles_once_for_all_block_sizes():
@@ -21,7 +21,7 @@ def test_stage_program_compiles_once_for_all_block_sizes():
     ld = std_normal(3)
     schedule = WarmupSchedule.from_stages(default_warmup_stages())
     run_chains(jax.random.PRNGKey(0), ld, 4, 40, dtype=jnp.float64)
-    programs = _fast_programs(ld, NUTS(), schedule, None)
+    programs = _fast_programs_batched(ld, NUTS(), schedule, None)
     stage_traces = programs.stage._cache_size()
     sample_traces = programs.sample._cache_size()
     assert stage_traces == 1, stage_traces  # 7 blocks, one compilation
@@ -33,8 +33,10 @@ def test_stage_program_compiles_once_for_all_block_sizes():
 def test_program_cache_hit_across_calls():
     ld = std_normal(2)
     schedule = WarmupSchedule.from_stages(default_warmup_stages())
-    p1 = _fast_programs(ld, NUTS(), schedule, None)
-    p2 = _fast_programs(ld, NUTS(), WarmupSchedule.from_stages(default_warmup_stages()), None)
+    p1 = _fast_programs_batched(ld, NUTS(), schedule, None)
+    p2 = _fast_programs_batched(
+        ld, NUTS(), WarmupSchedule.from_stages(default_warmup_stages()), None
+    )
     assert p1 is p2  # lru_cache hit: equal schedules hash equal
 
 
