@@ -284,6 +284,8 @@ class FastPrograms(NamedTuple):
     sample_chunk: int
     dense_welford: bool
     adaptation: object
+    pooled_welford: bool = False
+    wf_leading: int = 0  # >0: shared Welford carried with a leading device axis
 
 
 def build_programs(
@@ -384,9 +386,22 @@ def execute(
 
     # warm the stage program (zero steps) so compile time never pollutes the
     # adaptive chunk sizing
+    def make_wf():
+        if programs.pooled_welford:
+            wf = welford_zero_shared(
+                Q.q.shape[-1], programs.dense_welford, Q.q.dtype
+            )
+            if programs.wf_leading:
+                wf = jax.tree_util.tree_map(
+                    lambda x: jnp.zeros((programs.wf_leading,) + x.shape, x.dtype),
+                    wf,
+                )
+            return wf
+        return welford_zero(Q, programs.dense_welford)
+
     eps = strong(eps)
     da0 = strong(adaptation.init(eps))
-    wf0 = welford_zero(Q, programs.dense_welford)
+    wf0 = make_wf()
     warm = programs.stage(
         key_fold(0), Q, metric, da0, wf0, jnp.int32(0), jnp.int32(0)
     )
@@ -397,7 +412,7 @@ def execute(
     for i, n in enumerate(schedule.block_sizes):
         stage_key = key_fold(i + 1)
         da = strong(adaptation.init(eps))
-        wf = welford_zero(Q, programs.dense_welford)
+        wf = make_wf()
         totals = None
         start = 0
         while start < n:
@@ -480,7 +495,7 @@ def execute(
 
 
 def welford_update_b(state: WelfordState, x):
-    """Batched Welford update: x (C, K), m2 (C, K) or (C, K, K)."""
+    """Batched per-chain Welford update: x (C, K), m2 (C, K) or (C, K, K)."""
     count = state.count + 1
     delta = x - state.mean
     mean = state.mean + delta / count[..., None]
@@ -490,6 +505,36 @@ def welford_update_b(state: WelfordState, x):
     else:
         m2 = state.m2 + delta * delta2
     return WelfordState(count=count, mean=mean, m2=m2)
+
+
+def welford_update_pooled_b(state: WelfordState, x):
+    """SHARED Welford update over a chain batch (Chan et al. parallel
+    combine, one batch of C draws per step): state is unbatched — count
+    scalar, mean (K,), m2 (K,) or (K, K) — so pooled dense adaptation costs
+    O(K^2) memory instead of O(C K^2), and the per-step cross-chain moment
+    is one (K, C) @ (C, K) MXU matmul."""
+    c = x.shape[0]
+    batch_mean = x.mean(axis=0)
+    xc = x - batch_mean
+    count_new = state.count + c
+    delta = batch_mean - state.mean
+    mean = state.mean + (c / count_new) * delta
+    corr = state.count * c / count_new
+    if state.m2.ndim == 2:
+        batch_m2 = xc.T @ xc
+        m2 = state.m2 + batch_m2 + corr * jnp.outer(delta, delta)
+    else:
+        batch_m2 = jnp.sum(xc * xc, axis=0)
+        m2 = state.m2 + batch_m2 + corr * delta * delta
+    return WelfordState(count=count_new, mean=mean, m2=m2)
+
+
+def welford_zero_shared(dim: int, dense: bool, dtype) -> WelfordState:
+    return WelfordState(
+        count=jnp.zeros((), dtype),
+        mean=jnp.zeros((dim,), dtype),
+        m2=jnp.zeros((dim, dim) if dense else (dim,), dtype),
+    )
 
 
 def make_search_driver_batched(ld: LogDensity, params: InitialStepsizeSearch):
@@ -541,10 +586,15 @@ def make_stage_driver_batched(
     algorithm: NUTS,
     adaptation,
     dense_welford: bool,
+    pooled_welford: bool = False,
 ):
     """Batch-native resumable tuning-stage program; same contract as
-    make_stage_driver but the whole batch advances in one transition call."""
+    make_stage_driver but the whole batch advances in one transition call.
+    With ``pooled_welford`` the moment accumulator is shared across the
+    batch (O(K^2) memory, Chan parallel update)."""
     from .tree_batched import sample_tree_batched
+
+    wf_update = welford_update_pooled_b if pooled_welford else welford_update_b
 
     def stage(key, Q: EvaluatedPoint, metric: Metric, da_state, welford, start_i, n_steps):
         c = Q.q.shape[0]
@@ -560,7 +610,7 @@ def make_stage_driver_batched(
                 step_key, algorithm, ld, metric, carry["Q"], eps
             )
             da = adaptation.update(carry["da"], stats.acceptance_rate)
-            wf = welford_update_b(carry["wf"], Q_new.q)
+            wf = wf_update(carry["wf"], Q_new.q)
             return {
                 "i": carry["i"] + 1,
                 "Q": Q_new,
@@ -630,6 +680,7 @@ def build_programs_batched(
     wrap: Callable[[Callable, str], Callable],
     sample_chunk: int = 8,
     mesh_axis=None,
+    wf_leading: int = 0,
 ):
     """Batch-native program bundle. ``wrap(fn, kind)`` applies shard_map/jit
     (no vmap needed). Pooled vs per-chain metrics are carried by array rank;
@@ -640,7 +691,11 @@ def build_programs_batched(
     dense = schedule.metric_kind == "dense"
     stage = wrap(
         make_stage_driver_batched(
-            ld, algorithm, schedule.adaptation, dense_welford=dense
+            ld,
+            algorithm,
+            schedule.adaptation,
+            dense_welford=dense,
+            pooled_welford=schedule.pooled,
         ),
         "stage",
     )
@@ -648,10 +703,21 @@ def build_programs_batched(
     if schedule.metric_kind != "none":
         for lam in sorted(set(schedule.shrinkages)):
             if schedule.pooled:
-                metric_updates[lam] = wrap(
-                    make_shared_metric_update(schedule.metric_kind, lam, mesh_axis),
-                    "metric_shared",
-                )
+                # the Welford state is already pooled across each device's
+                # local batch; combine the per-device states (leading axis)
+                # or pass through when single-device
+                def make_update(lam=lam):
+                    def update(wf: WelfordState) -> Metric:
+                        combined = wf
+                        if wf_leading:
+                            combined = combine_welford_batch(combined)
+                        return estimate_metric(
+                            combined, schedule.metric_kind, lam, None
+                        )
+
+                    return update
+
+                metric_updates[lam] = wrap(make_update(), "metric_shared")
             else:
                 updater = make_metric_update(schedule.metric_kind, lam, None)
                 metric_updates[lam] = wrap(jax.vmap(updater), "metric")
@@ -664,4 +730,6 @@ def build_programs_batched(
         sample_chunk=sample_chunk,
         dense_welford=dense,
         adaptation=schedule.adaptation,
+        pooled_welford=schedule.pooled,
+        wf_leading=wf_leading,
     )

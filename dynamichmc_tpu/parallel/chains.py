@@ -340,6 +340,8 @@ def _fast_programs_batched(
 
     pooled = schedule.pooled
     metric_spec = P() if pooled else P(CHAIN_AXIS)
+    # pooled: the shared Welford state is carried per-device with a leading
+    # device axis (P(chains) over that axis); the metric update combines it
     specs_by_kind = {
         "search": (P(), P(CHAIN_AXIS), metric_spec),
         "stage": (P(), P(CHAIN_AXIS), metric_spec, P(CHAIN_AXIS), P(CHAIN_AXIS), P(), P()),
@@ -358,6 +360,10 @@ def _fast_programs_batched(
     def wrap(fn, kind):
         if mesh is None:
             return jax.jit(fn)
+        if kind == "metric_shared":
+            # consumes the (n_devices, ...) per-device pooled Welford states
+            # directly; no shard_map needed for this tiny computation
+            return jax.jit(fn)
         if kind in ("search", "stage", "sample"):
             inner = fn
 
@@ -366,6 +372,19 @@ def _fast_programs_batched(
                 return inner(key, *rest)
 
             fn = fn_with_device_key
+        if kind == "stage" and pooled:
+            inner2 = fn
+
+            def fn_wf_axis(key, Q, metric, da, wf, start_i, n_steps):
+                # local view of the per-device shared Welford: (1, ...) -> (...)
+                wf_local = jax.tree_util.tree_map(lambda x: x[0], wf)
+                Q2, da2, wf2, tot = inner2(
+                    key, Q, metric, da, wf_local, start_i, n_steps
+                )
+                wf2 = jax.tree_util.tree_map(lambda x: x[None], wf2)
+                return Q2, da2, wf2, tot
+
+            fn = fn_wf_axis
         f = jax.shard_map(
             fn,
             mesh=mesh,
@@ -381,5 +400,6 @@ def _fast_programs_batched(
         schedule,
         wrap,
         sample_chunk=sample_chunk,
-        mesh_axis=CHAIN_AXIS if (pooled and mesh is not None) else None,
+        mesh_axis=None,
+        wf_leading=mesh.devices.size if (pooled and mesh is not None) else 0,
     )
