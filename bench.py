@@ -46,7 +46,8 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str):
     from dynamichmc_tpu.models import correlated_gaussian
     from dynamichmc_tpu.parallel import run_chains
 
-    ld = correlated_gaussian(dim, dtype=jnp.float32)
+    fused = bool(int(os.environ.get("BENCH_FUSED", "1")))
+    ld = correlated_gaussian(dim, dtype=jnp.float32, fused=fused)
     # warm-up compile (not timed): same shapes/programs, minimal step counts
     run_chains(
         jax.random.PRNGKey(9), ld, n_chains, 8,

@@ -40,6 +40,11 @@ class LogDensity:
     (e.g. the Pallas Gaussian leapfrog in ops/pallas_leapfrog.py); used by
     ``hamiltonian.leapfrog`` when present. Must implement the same -inf
     poisoning semantics as ``evaluate``."""
+    fused_leaf_batched_fn: Optional[Callable] = None
+    """Optional batched fused leaf hook
+    ``(metric, q, p, g, eps_signed) -> (q', p', g', ld', pi')`` used by the
+    batch-native driver (tree_batched.py): one Pallas kernel per leaf
+    (ops/pallas_leaf.py). Same poisoning semantics."""
 
     def logdensity(self, q):
         return self.logdensity_fn(q)

@@ -25,10 +25,13 @@ def _gaussian_model(mean: jnp.ndarray, cov: np.ndarray, fused: bool = False) -> 
     chol = jnp.asarray(np.linalg.cholesky(cov_np), mean.dtype)
 
     fused_leapfrog_fn = None
+    fused_leaf_batched_fn = None
     if fused:
+        from ..ops.pallas_leaf import make_gaussian_fused_leaf_batched
         from ..ops.pallas_leapfrog import make_gaussian_fused_leapfrog
 
         fused_leapfrog_fn = make_gaussian_fused_leapfrog(prec, mean)
+        fused_leaf_batched_fn = make_gaussian_fused_leaf_batched(prec, mean)
 
     def logdensity_fn(q):
         d = q - mean.astype(q.dtype)
@@ -48,6 +51,7 @@ def _gaussian_model(mean: jnp.ndarray, cov: np.ndarray, fused: bool = False) -> 
         logdensity_fn=logdensity_fn,
         logdensity_and_gradient_fn=logdensity_and_gradient_fn,
         fused_leapfrog_fn=fused_leapfrog_fn,
+        fused_leaf_batched_fn=fused_leaf_batched_fn,
         sample_fn=sample_fn,
         mean_fn=lambda: mean,
         cov_fn=lambda: jnp.asarray(cov_np),

@@ -194,9 +194,16 @@ def sample_tree_batched(
 
         def body(c):
             kleaf = jax.random.fold_in(carry_key, c["n"])
-            z = _leapfrog_b(ld, metric, c["z"], jnp.where(is_fwd, eps, -eps))
+            eps_signed = jnp.where(is_fwd, eps, -eps)
+            if ld.fused_leaf_batched_fn is not None:
+                qn, pn, gn, ldn, pi = ld.fused_leaf_batched_fn(
+                    metric, c["z"].q, c["z"].p, c["z"].grad, eps_signed
+                )
+                z = _Edge(q=qn, p=pn, grad=gn, ld=ldn)
+            else:
+                z = _leapfrog_b(ld, metric, c["z"], eps_signed)
+                pi = _joint_b(metric, z.ld, z.p)
             i_new = i_edge + step * (c["n"] + jnp.int32(1))
-            pi = _joint_b(metric, z.ld, z.p)
             delta = pi - pi0
             divergent = delta < min_delta
             live = c["building"] & engaged
