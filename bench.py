@@ -42,11 +42,11 @@ def _stages(metric_kind: str, warm: bool):
     return default_warmup_stages(metric_kind=metric_kind, pooled=True)
 
 
-def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str):
+def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
+            fused: bool):
     from dynamichmc_tpu.models import correlated_gaussian
     from dynamichmc_tpu.parallel import run_chains
 
-    fused = bool(int(os.environ.get("BENCH_FUSED", "1")))
     ld = correlated_gaussian(dim, dtype=jnp.float32, fused=fused)
     # warm-up compile (not timed): same shapes/programs, minimal step counts
     run_chains(
@@ -103,9 +103,19 @@ def main():
     metric_kind = os.environ.get("BENCH_METRIC", "dense")
     backend = jax.default_backend()
 
-    positions, seconds, divergences, steps = run_tpu(
-        n_chains, dim, n_samples, metric_kind
-    )
+    fused = bool(int(os.environ.get("BENCH_FUSED", "1")))
+    try:
+        positions, seconds, divergences, steps = run_tpu(
+            n_chains, dim, n_samples, metric_kind, fused
+        )
+    except Exception as exc:  # fused Pallas path is an optimization, not a dep
+        if not fused:
+            raise
+        print(f"[bench] fused path failed ({exc!r}); retrying unfused",
+              file=sys.stderr)
+        positions, seconds, divergences, steps = run_tpu(
+            n_chains, dim, n_samples, metric_kind, False
+        )
     ess_min_rate, ess_mean_rate = _ess_per_sec(positions, seconds)
     grad_evals_per_sec = steps / seconds
 
