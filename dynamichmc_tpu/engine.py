@@ -32,7 +32,7 @@ from .stepsize import (
     find_initial_stepsize,
     local_log_acceptance_ratio,
 )
-from .utils.welford import WelfordState, welford_init, welford_update
+from .utils.welford import WelfordState, welford_update
 from .warmup import TuningNUTS, WarmupStage, estimate_metric
 
 

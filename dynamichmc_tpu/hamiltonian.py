@@ -19,7 +19,6 @@ raise ``DynamicHMCError`` with a full debug payload.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

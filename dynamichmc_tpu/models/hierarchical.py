@@ -9,7 +9,6 @@ correlation; no exact sampler, used for diagnostics and benchmarks).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -8,7 +8,6 @@ the same matmul (the reference's AD-user-side contract, SURVEY.md L0).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -9,7 +9,6 @@ exact sampler (push-forward) remain available.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .base import TestModel

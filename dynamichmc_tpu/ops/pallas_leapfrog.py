@@ -24,17 +24,14 @@ poisoned to -inf outside the kernel under the same rule as ``evaluate``
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..hamiltonian import EvaluatedPoint, PhasePoint
-from ..logdensity import LogDensity
 from ..metric import DiagonalMetric
 
 
@@ -86,7 +83,7 @@ def _batched_pallas_leapfrog(q, p, g, m_inv, eps, prec, mu, block_c: int,
 
     grid = (cp // block_c,)
     row_spec = pl.BlockSpec((block_c, kp), lambda i: (i, 0),
-                            memory_space=pltpu.ANY if False else pltpu.VMEM)
+                            memory_space=pltpu.VMEM)
     eps_spec = pl.BlockSpec((block_c, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec((kp, kp), lambda i: (0, 0),

@@ -47,12 +47,7 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .utils.pytree import (
-    pytree_dataclass,
-    tree_select_level,
-    tree_update_level,
-    tree_where,
-)
+from .utils.pytree import tree_select_level, tree_update_level, tree_where
 
 MAX_DIRECTIONS_DEPTH = 32
 """Direction bits per transition; one uint32 draw (trees.jl:10,19-23)."""

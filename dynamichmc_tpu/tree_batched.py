@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 from .hamiltonian import EvaluatedPoint
 from .logdensity import LogDensity
-from .metric import DenseMetric, DiagonalMetric, Metric
+from .metric import DiagonalMetric, Metric
 from .nuts import NUTS, TreeStatistics
 
 
