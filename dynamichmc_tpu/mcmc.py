@@ -63,6 +63,24 @@ class MCMCResult:
     def posterior_matrix(self):
         return jnp.swapaxes(self.positions, -1, -2)
 
+    def summary(self) -> str:
+        """Human-readable diagnostics: tree-statistics summary plus, for
+        multi-chain results, per-parameter R-hat / ESS extremes."""
+        from .diagnostics import summarize_tree_statistics
+
+        parts = [str(summarize_tree_statistics(self.tree_statistics))]
+        positions = np.asarray(self.positions)
+        if positions.ndim == 3 and positions.shape[0] > 1:
+            from .stats import ess_rhat
+
+            st = ess_rhat(positions)
+            parts.append(
+                f"  R-hat max: {st['rhat'].max():.4f}; bulk ESS min: "
+                f"{st['ess_bulk'].min():.0f}; tail ESS min: "
+                f"{st['ess_tail'].min():.0f}"
+            )
+        return "\n".join(parts)
+
 
 def mcmc(
     key: jax.Array,
