@@ -65,9 +65,17 @@ def identity_metric(dim: int, m_inv_scalar: float = 1.0, dtype=jnp.float32) -> D
 
 
 def kinetic_energy(metric: Metric, p: jnp.ndarray) -> jnp.ndarray:
-    """K(p) = p^T M^-1 p / 2 (hamiltonian.jl:103)."""
+    """K(p) = p^T M^-1 p / 2 (hamiltonian.jl:103).
+
+    NOTE: deliberately computed with the SAME M^-1 arrays used by the
+    dynamics (psharp) and the momentum draw (w): a numerically "nicer"
+    whitened form ||chol(M^-1)^T p||^2 with a float32 on-device Cholesky is
+    INCONSISTENT with those pieces on ill-conditioned adapted metrics and
+    injects O(1) energy noise that collapses the adapted stepsize. The
+    position log density is where cancellation-free evaluation matters (the
+    model can supply it; see models/gaussian.py)."""
     if isinstance(metric, DiagonalMetric):
-        return 0.5 * jnp.sum(p * metric.m_inv * p)
+        return 0.5 * jnp.sum(metric.m_inv * p * p)
     return 0.5 * jnp.dot(p, metric.m_inv @ p)
 
 

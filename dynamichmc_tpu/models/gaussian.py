@@ -21,8 +21,14 @@ def _gaussian_model(mean: jnp.ndarray, cov: np.ndarray, fused: bool = False) -> 
     mean = jnp.asarray(mean)
     dim = mean.shape[0]
     cov_np = np.asarray(cov, np.float64)
-    prec = jnp.asarray(np.linalg.inv(cov_np), mean.dtype)
+    prec_np = np.linalg.inv(cov_np)
+    prec = jnp.asarray(prec_np, mean.dtype)
     chol = jnp.asarray(np.linalg.cholesky(cov_np), mean.dtype)
+    # L^T with prec = L L^T: the value is computed as the cancellation-free
+    # whitened sum of squares -0.5 ||L^T d||^2 (float32-safe; a direct
+    # d . (prec d) quadratic form carries a systematic f32 bias that
+    # measurably over-disperses the worst-conditioned coordinates)
+    prec_chol_t = jnp.asarray(np.linalg.cholesky(prec_np).T, mean.dtype)
 
     fused_leapfrog_fn = None
     fused_leaf_batched_fn = None
@@ -31,16 +37,20 @@ def _gaussian_model(mean: jnp.ndarray, cov: np.ndarray, fused: bool = False) -> 
         from ..ops.pallas_leapfrog import make_gaussian_fused_leapfrog
 
         fused_leapfrog_fn = make_gaussian_fused_leapfrog(prec, mean)
-        fused_leaf_batched_fn = make_gaussian_fused_leaf_batched(prec, mean)
+        fused_leaf_batched_fn = make_gaussian_fused_leaf_batched(
+            prec, mean, prec_chol_t=prec_chol_t
+        )
 
     def logdensity_fn(q):
         d = q - mean.astype(q.dtype)
-        return -0.5 * jnp.dot(d, prec.astype(q.dtype) @ d)
+        w = prec_chol_t.astype(q.dtype) @ d
+        return -0.5 * jnp.sum(w * w)
 
     def logdensity_and_gradient_fn(q):
         d = q - mean.astype(q.dtype)
-        pd = prec.astype(q.dtype) @ d  # single matvec shared by value + grad
-        return -0.5 * jnp.dot(d, pd), -pd
+        w = prec_chol_t.astype(q.dtype) @ d
+        pd = prec.astype(q.dtype) @ d
+        return -0.5 * jnp.sum(w * w), -pd
 
     def sample_fn(key, n):
         z = jax.random.normal(key, (n, dim), mean.dtype)

@@ -29,8 +29,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(q_ref, p_ref, g_ref, minv_ref, eps_ref, prec_ref, mu_ref,
-            qn_ref, pn_ref, gn_ref, ldn_ref, pin_ref):
+def _kernel(q_ref, p_ref, g_ref, minv_ref, eps_ref, prec_ref, lchol_ref,
+            mu_ref, qn_ref, pn_ref, gn_ref, ldn_ref, pin_ref):
     q = q_ref[:]
     p = p_ref[:]
     g = g_ref[:]
@@ -42,9 +42,12 @@ def _kernel(q_ref, p_ref, g_ref, minv_ref, eps_ref, prec_ref, mu_ref,
     d = q_new - mu_ref[:]
     pd = jnp.dot(d, prec_ref[:], preferred_element_type=jnp.float32)
     g_new = -pd
-    ld = -0.5 * jnp.sum(d * pd, axis=1, keepdims=True)
+    # value via the whitened sum of squares ||L^T d||^2 (cancellation-free
+    # in float32; prec = L L^T); d @ L gives rows (L^T d_c)
+    w = jnp.dot(d, lchol_ref[:], preferred_element_type=jnp.float32)
+    ld = -0.5 * jnp.sum(w * w, axis=1, keepdims=True)
     p_new = p_mid + half * g_new
-    kin = 0.5 * jnp.sum(p_new * minv * p_new, axis=1, keepdims=True)
+    kin = 0.5 * jnp.sum(minv * p_new * p_new, axis=1, keepdims=True)
     qn_ref[:] = q_new
     pn_ref[:] = p_new
     gn_ref[:] = g_new
@@ -57,6 +60,7 @@ def make_gaussian_fused_leaf_batched(
     mu: Optional[jnp.ndarray] = None,
     block_c: int = 512,
     interpret: Optional[bool] = None,
+    prec_chol_t: Optional[jnp.ndarray] = None,
 ):
     """Hook for ``LogDensity.fused_leaf_batched_fn``:
 
@@ -65,13 +69,21 @@ def make_gaussian_fused_leaf_batched(
     ld' is -inf-poisoned exactly like hamiltonian.evaluate; pi' is the joint
     density with the same poisoning as joint_logdensity.
     """
+    import numpy as _np
+
     prec = jnp.asarray(prec, jnp.float32)
     k = prec.shape[0]
     mu = jnp.zeros((k,), jnp.float32) if mu is None else jnp.asarray(mu, jnp.float32)
+    if prec_chol_t is None:
+        prec_chol_t = jnp.asarray(
+            _np.linalg.cholesky(_np.asarray(prec, _np.float64)).T, jnp.float32
+        )
+    lchol = jnp.asarray(prec_chol_t, jnp.float32).T  # lower L: prec = L L^T
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kp = _round_up(k, 128)
     prec_p = jnp.pad(prec, ((0, kp - k), (0, kp - k)))
+    lchol_p = jnp.pad(lchol, ((0, kp - k), (0, kp - k)))
     mu_p = jnp.pad(mu[None, :], ((0, 0), (0, kp - k)))
 
     def fused(metric, q, p, g, eps_signed):
@@ -80,16 +92,15 @@ def make_gaussian_fused_leaf_batched(
             from ..tree_batched import _Edge, _joint_b, _leapfrog_b as _lf
             from ..logdensity import LogDensity
 
+            def _val_grad(qq):
+                d = qq - mu.astype(qq.dtype)
+                w = lchol.T.astype(qq.dtype) @ d
+                return -0.5 * jnp.sum(w * w), -(prec.astype(qq.dtype) @ d)
+
             ref_ld = LogDensity(
                 dim=k,
-                logdensity_fn=lambda qq: -0.5
-                * jnp.dot(qq - mu.astype(qq.dtype),
-                          prec.astype(qq.dtype) @ (qq - mu.astype(qq.dtype))),
-                logdensity_and_gradient_fn=lambda qq: (
-                    -0.5 * jnp.dot(qq - mu.astype(qq.dtype),
-                                   prec.astype(qq.dtype) @ (qq - mu.astype(qq.dtype))),
-                    -(prec.astype(qq.dtype) @ (qq - mu.astype(qq.dtype))),
-                ),
+                logdensity_fn=lambda qq: _val_grad(qq)[0],
+                logdensity_and_gradient_fn=_val_grad,
             )
             z = _lf(ref_ld, metric, _Edge(q=q, p=p, grad=g, ld=jnp.zeros(q.shape[0], q.dtype)), eps_signed)
             pi = _joint_b(metric, z.ld, z.p)
@@ -113,7 +124,7 @@ def make_gaussian_fused_leaf_batched(
         out = pl.pallas_call(
             _kernel,
             grid=(cp // bc,),
-            in_specs=[row, row, row, row, col, full, mu_spec],
+            in_specs=[row, row, row, row, col, full, full, mu_spec],
             out_specs=[row, row, row, col, col],
             out_shape=[
                 jax.ShapeDtypeStruct((cp, kp), jnp.float32),
@@ -123,12 +134,12 @@ def make_gaussian_fused_leaf_batched(
                 jax.ShapeDtypeStruct((cp, 1), jnp.float32),
             ],
             cost_estimate=pl.CostEstimate(
-                flops=2 * cp * kp * kp + 16 * cp * kp,
-                bytes_accessed=(9 * cp * kp + kp * kp) * 4,
+                flops=4 * cp * kp * kp + 16 * cp * kp,
+                bytes_accessed=(9 * cp * kp + 2 * kp * kp) * 4,
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(qp, pp, gp, mp, ep, prec_p, mu_p)
+        )(qp, pp, gp, mp, ep, prec_p, lchol_p, mu_p)
         q_new, p_new, g_new, ld, pi = out
         q_new = q_new[:c, :k]
         p_new = p_new[:c, :k]

@@ -39,8 +39,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(q_ref, p_ref, g_ref, minv_ref, eps_ref, prec_ref, mu_ref,
-            qn_ref, pn_ref, gn_ref, ld_ref):
+def _kernel(q_ref, p_ref, g_ref, minv_ref, eps_ref, prec_ref, lchol_ref,
+            mu_ref, qn_ref, pn_ref, gn_ref, ld_ref):
     """One fused leapfrog for a (BLOCK_C, KP) tile of chains.
 
     eps is per-chain signed stepsize (BLOCK_C, 1); minv is the per-chain
@@ -58,14 +58,15 @@ def _kernel(q_ref, p_ref, g_ref, minv_ref, eps_ref, prec_ref, mu_ref,
     # row-major (C,K) @ (K,K) hits the MXU directly.
     pd = jnp.dot(d, prec_ref[:], preferred_element_type=jnp.float32)
     g_new = -pd
-    ld_ref[:] = -0.5 * jnp.sum(d * pd, axis=1, keepdims=True)
+    w = jnp.dot(d, lchol_ref[:], preferred_element_type=jnp.float32)
+    ld_ref[:] = -0.5 * jnp.sum(w * w, axis=1, keepdims=True)
     gn_ref[:] = g_new
     qn_ref[:] = q_new
     pn_ref[:] = p_mid + half * g_new
 
 
-def _batched_pallas_leapfrog(q, p, g, m_inv, eps, prec, mu, block_c: int,
-                             interpret: bool):
+def _batched_pallas_leapfrog(q, p, g, m_inv, eps, prec, lchol, mu,
+                             block_c: int, interpret: bool):
     c, k = q.shape
     kp = _round_up(k, 128)
     cp = _round_up(c, block_c)
@@ -79,6 +80,7 @@ def _batched_pallas_leapfrog(q, p, g, m_inv, eps, prec, mu, block_c: int,
     mp = pad2(m_inv, cp, kp)
     ep = jnp.pad(eps[:, None], ((0, cp - c), (0, 0)))
     prec_p = pad2(prec, kp, kp)
+    lchol_p = pad2(lchol, kp, kp)
     mu_p = jnp.pad(mu[None, :], ((0, 0), (0, kp - k)))
 
     grid = (cp // block_c,)
@@ -94,7 +96,7 @@ def _batched_pallas_leapfrog(q, p, g, m_inv, eps, prec, mu, block_c: int,
         _kernel,
         grid=grid,
         in_specs=[row_spec, row_spec, row_spec, row_spec, eps_spec, full_spec,
-                  mu_spec],
+                  full_spec, mu_spec],
         out_specs=[row_spec, row_spec, row_spec, eps_spec],
         out_shape=[
             jax.ShapeDtypeStruct((cp, kp), q.dtype),
@@ -108,7 +110,7 @@ def _batched_pallas_leapfrog(q, p, g, m_inv, eps, prec, mu, block_c: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qp, pp, gp, mp, ep, prec_p, mu_p)
+    )(qp, pp, gp, mp, ep, prec_p, lchol_p, mu_p)
     q_new, p_new, g_new, ld = out
     return (
         q_new[:c, :k],
@@ -131,9 +133,14 @@ def make_gaussian_fused_leapfrog(
     ``vmap`` the batched Pallas kernel runs (``interpret=True`` forces the
     Pallas interpreter — used for CPU tests; default: interpret off-TPU).
     """
+    import numpy as _np
+
     prec = jnp.asarray(prec, jnp.float32)
     k = prec.shape[0]
     mu = jnp.zeros((k,), jnp.float32) if mu is None else jnp.asarray(mu, jnp.float32)
+    lchol = jnp.asarray(
+        _np.linalg.cholesky(_np.asarray(prec, _np.float64)), jnp.float32
+    )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -144,7 +151,8 @@ def make_gaussian_fused_leapfrog(
         d = q_new - mu
         pd = prec @ d
         g_new = -pd
-        ld = -0.5 * jnp.dot(d, pd)
+        w = lchol.T @ d
+        ld = -0.5 * jnp.sum(w * w)
         p_new = p_mid + half * g_new
         return q_new, p_new, g_new, ld
 
@@ -168,7 +176,7 @@ def make_gaussian_fused_leapfrog(
             eps = jnp.broadcast_to(eps, (axis_size,))
         bc = min(block_c, _round_up(axis_size, 8))
         out = _batched_pallas_leapfrog(
-            q, p, g, m_inv, eps, prec, mu, bc, interpret
+            q, p, g, m_inv, eps, prec, lchol, mu, bc, interpret
         )
         return out, (True, True, True, True)
 

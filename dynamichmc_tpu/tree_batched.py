@@ -64,7 +64,10 @@ def psharp_b(metric: Metric, p):
 
 
 def kinetic_b(metric: Metric, p):
-    """0.5 p^T M^-1 p per chain."""
+    """0.5 p^T M^-1 p per chain, using the same M^-1 as the dynamics (see
+    the consistency note on metric.kinetic_energy)."""
+    if isinstance(metric, DiagonalMetric):
+        return 0.5 * jnp.sum(metric.m_inv * p * p, axis=-1)
     return 0.5 * jnp.sum(p * psharp_b(metric, p), axis=-1)
 
 
