@@ -103,7 +103,7 @@ def main():
     metric_kind = os.environ.get("BENCH_METRIC", "dense")
     backend = jax.default_backend()
 
-    fused = bool(int(os.environ.get("BENCH_FUSED", "1")))
+    fused = bool(int(os.environ.get("BENCH_FUSED", "0")))
     try:
         positions, seconds, divergences, steps = run_tpu(
             n_chains, dim, n_samples, metric_kind, fused
