@@ -24,6 +24,10 @@ class TestModel(LogDensity):
     sample_fn: Optional[Callable] = None
     mean_fn: Optional[Callable] = None  # () -> (dim,)
     cov_fn: Optional[Callable] = None  # () -> (dim, dim)
+    # Additive constant c such that logdensity_fn(q) + c is a NORMALIZED log
+    # pdf. Required by mixture(): mixing unnormalized components with unequal
+    # constants silently reweights the mixture.
+    log_normalization: Optional[float] = None
 
     def sample(self, key, n: int):
         if self.sample_fn is None:

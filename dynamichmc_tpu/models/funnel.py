@@ -32,4 +32,14 @@ def funnel(dim: int, sigma_v: float = 3.0, dtype=jnp.float64) -> TestModel:
         x = jnp.exp(v / 2) * jax.random.normal(kx, (n, dim - 1), dtype)
         return jnp.concatenate([v, x], axis=1)
 
-    return TestModel(dim=dim, logdensity_fn=logdensity_fn, sample_fn=sample_fn)
+    # v-marginal misses -0.5 log(2 pi sigma_v^2); each x_i misses
+    # -0.5 log(2 pi) (the -v/2 Jacobian part IS in lp_x).
+    log_normalization = float(
+        -0.5 * dim * jnp.log(2 * jnp.pi) - jnp.log(sigma_v)
+    )
+    return TestModel(
+        dim=dim,
+        logdensity_fn=logdensity_fn,
+        sample_fn=sample_fn,
+        log_normalization=log_normalization,
+    )

@@ -65,6 +65,9 @@ def _gaussian_model(mean: jnp.ndarray, cov: np.ndarray, fused: bool = False) -> 
         sample_fn=sample_fn,
         mean_fn=lambda: mean,
         cov_fn=lambda: jnp.asarray(cov_np),
+        log_normalization=float(
+            -0.5 * (dim * np.log(2 * np.pi) + np.linalg.slogdet(cov_np)[1])
+        ),
     )
 
 
@@ -88,6 +91,7 @@ def std_normal(dim: int, dtype=jnp.float64) -> TestModel:
         sample_fn=sample_fn,
         mean_fn=lambda: mean,
         cov_fn=lambda: jnp.eye(dim, dtype=dtype),
+        log_normalization=float(-0.5 * dim * np.log(2 * np.pi)),
     )
 
 

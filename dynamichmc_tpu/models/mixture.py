@@ -10,26 +10,27 @@ from .base import TestModel
 
 
 def mixture(weight: float, model_a: TestModel, model_b: TestModel) -> TestModel:
-    """weight * A + (1 - weight) * B. Requires normalized component log
-    densities for exact mixing; our Gaussian/funnel models are unnormalized,
-    so components must share the same normalization constant — for two MVNs
-    of the same dimension this holds iff |cov_A| == |cov_B|. For testing we
-    instead add the proper normalization constants."""
+    """weight * A + (1 - weight) * B. Exact mixing requires NORMALIZED
+    component log densities; every component must therefore carry an explicit
+    ``log_normalization`` constant (the additive c making logdensity_fn + c a
+    normalized log pdf). Mixing a component whose constant is unknown would
+    silently reweight the mixture (e.g. an unnormalized funnel at nominal
+    weight 0.5 contributes an effective weight ~0.96), so that is an error."""
     if model_a.dim != model_b.dim:
         raise ValueError("mixture components must have equal dimension")
     if not 0 < weight < 1:
         raise ValueError("weight must be in (0, 1)")
     dim = model_a.dim
 
-    # Proper normalization: for our Gaussian TestModels cov_fn is available.
-    def log_norm(model):
-        if model.cov_fn is None:
-            return 0.0
-        cov = model.cov_fn()
-        sign, logdet = jnp.linalg.slogdet(cov)
-        return -0.5 * (dim * jnp.log(2 * jnp.pi) + logdet)
+    def log_norm(model, name):
+        if model.log_normalization is None:
+            raise ValueError(
+                f"mixture component {name} has no log_normalization; exact "
+                "mixing needs normalized component densities"
+            )
+        return model.log_normalization
 
-    la, lb = log_norm(model_a), log_norm(model_b)
+    la, lb = log_norm(model_a, "A"), log_norm(model_b, "B")
     lw_a, lw_b = jnp.log(weight), jnp.log1p(-weight)
 
     def logdensity_fn(q):
@@ -48,4 +49,10 @@ def mixture(weight: float, model_a: TestModel, model_b: TestModel) -> TestModel:
             pick_a = jax.random.uniform(kc, (n, 1)) < weight
             return jnp.where(pick_a, xa, xb)
 
-    return TestModel(dim=dim, logdensity_fn=logdensity_fn, sample_fn=sample_fn)
+    # With component constants folded in, the mixture density is normalized.
+    return TestModel(
+        dim=dim,
+        logdensity_fn=logdensity_fn,
+        sample_fn=sample_fn,
+        log_normalization=0.0,
+    )

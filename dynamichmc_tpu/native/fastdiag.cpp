@@ -3,9 +3,9 @@
 // Split rank-normalized R-hat and bulk/tail ESS (Vehtari et al. 2021) over
 // (chains, draws, params) arrays, OpenMP-parallel over params. Exact
 // computational parity with the numpy reference implementation in
-// ../stats.py (which remains the fallback and the test oracle): stable-sort
-// ranks without tie averaging, Blom offsets, Geyer initial monotone positive
-// sequence on the biased autocovariance.
+// ../stats.py (which remains the fallback and the test oracle): average-tied
+// ranks (scipy rankdata(method="average")), Blom offsets, Geyer initial
+// monotone positive sequence on the biased autocovariance.
 //
 // The reference (tpapp/DynamicHMC.jl) delegates these statistics to
 // MCMCDiagnosticTools; this is the TPU framework's native runtime analogue,
@@ -66,16 +66,27 @@ double inv_norm_cdf(double p) {
     return x;
 }
 
-// Rank-normalize in place: stable-sort ranks (1-based, no tie averaging,
-// matching numpy argsort-mergesort semantics in stats.py) -> Blom -> ndtri.
+// Rank-normalize in place: average-tied ranks (1-based, scipy
+// rankdata(method="average") semantics, matching stats.py) -> Blom -> ndtri.
+// Tie averaging is load-bearing for tail ESS: the 0/1 quantile-indicator
+// series is ~95% ties, and ordinal ranks would inject an artificial
+// per-chain monotone ramp that collapses the ESS.
 void rank_normalize(double* x, int64_t n, std::vector<int64_t>& order) {
     order.resize(n);
     std::iota(order.begin(), order.end(), 0);
     std::stable_sort(order.begin(), order.end(),
                      [&](int64_t i, int64_t j) { return x[i] < x[j]; });
     const double denom = n + 0.25;
-    for (int64_t r = 0; r < n; ++r) {
-        x[order[r]] = inv_norm_cdf((r + 1 - 0.375) / denom);
+    int64_t r = 0;
+    while (r < n) {
+        int64_t run_end = r + 1;
+        const double v = x[order[r]];
+        while (run_end < n && x[order[run_end]] == v) ++run_end;
+        // average 1-based rank of the tied run [r, run_end)
+        const double avg_rank = (double(r + 1) + double(run_end)) / 2.0;
+        const double z = inv_norm_cdf((avg_rank - 0.375) / denom);
+        for (int64_t i = r; i < run_end; ++i) x[order[i]] = z;
+        r = run_end;
     }
 }
 

@@ -182,7 +182,25 @@ def make_gaussian_fused_leapfrog(
 
     def fused_leapfrog(metric, z: PhasePoint, eps_signed) -> PhasePoint:
         if not isinstance(metric, DiagonalMetric):
-            raise TypeError("fused leapfrog supports DiagonalMetric only")
+            # Dense metric (e.g. after a dense-metric warmup update): the
+            # kernel only handles a diagonal inverse mass, so fall back to
+            # the pure-JAX leapfrog instead of failing at trace time (the
+            # batched fused leaf in pallas_leaf.py does the same).
+            from ..metric import psharp
+
+            half = 0.5 * eps_signed
+            p_mid = z.p + half * z.Q.grad
+            q_new = z.Q.q + eps_signed * psharp(metric, p_mid)
+            d = q_new - mu
+            g_new = -(prec @ d)
+            w = lchol.T @ d
+            ld = -0.5 * jnp.sum(w * w)
+            p_new = p_mid + half * g_new
+            ok = jnp.isfinite(ld) & jnp.all(jnp.isfinite(g_new))
+            ld = jnp.where(ok | (ld == -jnp.inf), ld, -jnp.inf)
+            return PhasePoint(
+                Q=EvaluatedPoint(q=q_new, logdensity=ld, grad=g_new), p=p_new
+            )
         q_new, p_new, g_new, ld = core(
             z.Q.q, z.p, z.Q.grad, metric.m_inv, eps_signed
         )

@@ -23,14 +23,30 @@ def _split_chains(x: np.ndarray) -> np.ndarray:
 
 
 def _rank_normalize(x: np.ndarray) -> np.ndarray:
-    """Fractional ranks across all chains/draws -> inverse normal CDF."""
+    """Average-tied ranks across all chains/draws -> inverse normal CDF.
+
+    Tie AVERAGING (scipy rankdata(method="average") semantics) is load-bearing:
+    ess_tail rank-normalizes 0/1 quantile-indicator series that are ~95% ties;
+    ordinal ranks would turn each tied block into a per-chain monotone ramp
+    and collapse tail ESS to single digits on i.i.d. draws.
+    """
     shape = x.shape
     flat = x.ravel()
-    ranks = np.empty_like(flat)
+    n = flat.size
     order = np.argsort(flat, kind="mergesort")
-    # average ranks for ties via double argsort on stable sort is adequate here
-    ranks[order] = np.arange(1, flat.size + 1)
-    z = ndtri((ranks - 0.375) / (flat.size + 0.25))  # Blom offsets
+    svals = flat[order]
+    # run starts of equal-value blocks in the sorted array
+    starts = np.empty(n, dtype=bool)
+    starts[0] = True
+    np.not_equal(svals[1:], svals[:-1], out=starts[1:])
+    run_id = np.cumsum(starts) - 1
+    start_idx = np.flatnonzero(starts)
+    end_idx = np.append(start_idx[1:], n)
+    # average 1-based rank within each tied run: (start+1 + end)/2
+    avg = (start_idx + 1 + end_idx) / 2.0
+    ranks = np.empty(n, dtype=np.float64)
+    ranks[order] = avg[run_id]
+    z = ndtri((ranks - 0.375) / (n + 0.25))  # Blom offsets
     return z.reshape(shape)
 
 

@@ -84,13 +84,25 @@ def run_and_check(
             model.sample(jax.random.fold_in(key, 999), c * n), np.float64
         )
         pooled = positions.reshape(c * n, k)
-        # Bonferroni d-correction (sample-correctness_utilities.jl:119-126)
+        # Bonferroni d-correction (sample-correctness_utilities.jl:119-126).
+        # scipy floors significance_level at 0.001 (and caps at 0.25): when
+        # the Bonferroni-corrected fail threshold is at/below that floor,
+        # `p >= thr` would be vacuously true for ANY samples — gate on the
+        # AD statistic against the 0.1% critical value instead.
         for j in range(k):
             r = anderson_ksamp([pooled[:, j], exact[:, j]])
             p = r.significance_level
-            assert p >= t.ad_fail / k, (
-                f"{label}: AD p={p:.4g} coord {j} < {t.ad_fail / k:.4g}"
-            )
+            thr = t.ad_fail / k
+            if thr <= 0.001:
+                crit_001 = r.critical_values[-1]  # 0.1% level
+                assert r.statistic < crit_001, (
+                    f"{label}: AD stat={r.statistic:.3f} coord {j} exceeds "
+                    f"0.1% critical value {crit_001:.3f} (p floored at {p:.4g})"
+                )
+            else:
+                assert p >= thr, (
+                    f"{label}: AD p={p:.4g} coord {j} < {thr:.4g}"
+                )
             if p < t.ad_alert / k:
                 print(f"[alert] {label}: AD p={p:.4g} coord {j}")
     return res

@@ -187,6 +187,25 @@ def test_ess_rhat_on_iid_draws():
     # iid draws: ESS close to total draw count
     assert np.all(out["ess_bulk"] > 2500)
     assert np.all(out["ess_bulk"] < 6000)
+    # tail ESS likewise (regression: ordinal tie-ranks collapsed this to ~5)
+    assert np.all(out["ess_tail"] > 2500)
+    assert np.all(out["ess_tail"] < 6000)
+
+
+def test_ess_tail_iid_numpy_and_native_paths():
+    """Tail ESS on i.i.d. draws must be ~C*N in BOTH implementations."""
+    from dynamichmc_tpu import native
+    from dynamichmc_tpu.stats import ess_rhat
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(4, 4000, 1)
+    out_np = ess_rhat(x, use_native=False)
+    assert out_np["ess_tail"][0] > 10000, out_np["ess_tail"]
+    out_nat = native.ess_rhat_batch(x)
+    if out_nat is not None:
+        np.testing.assert_allclose(
+            out_nat["ess_tail"], out_np["ess_tail"], rtol=1e-7
+        )
 
 
 def test_rhat_detects_nonconvergence():

@@ -118,3 +118,31 @@ def test_poisoning_in_fused_path(models):
     z = PhasePoint(Q=evaluate(fused, q), p=p)
     out = leapfrog(fused, metric, z, 1e10)
     assert float(out.Q.logdensity) == -np.inf
+
+
+def test_dense_metric_falls_back_to_pure_jax(models):
+    """A fused model with a DenseMetric (the default dense-warmup config)
+    must fall back to the pure-JAX leapfrog, not raise at trace time."""
+    from dynamichmc_tpu.metric import dense_metric
+
+    plain, fused = models
+    rng = np.random.RandomState(3)
+    a = rng.randn(K, K)
+    m_inv = jnp.asarray(a @ a.T + K * np.eye(K), jnp.float32)
+    metric = dense_metric(m_inv)
+    q = jnp.asarray(rng.randn(K), jnp.float32)
+    p = jnp.asarray(rng.randn(K), jnp.float32)
+    z = PhasePoint(Q=evaluate(plain, q), p=p)
+    z1 = leapfrog(plain, metric, z, 0.1)
+    z2 = leapfrog(fused, metric, z, 0.1)
+    np.testing.assert_allclose(np.asarray(z1.Q.q), np.asarray(z2.Q.q), rtol=2e-5)
+    np.testing.assert_allclose(
+        float(z1.Q.logdensity), float(z2.Q.logdensity), rtol=2e-4
+    )
+    # vmapped too (the batched transition path)
+    zb = PhasePoint(
+        Q=evaluate(plain, q), p=jnp.asarray(rng.randn(4, K), jnp.float32)
+    )
+    step = jax.vmap(lambda pp: leapfrog(fused, metric, PhasePoint(Q=zb.Q, p=pp), 0.1))
+    out = step(zb.p)
+    assert np.all(np.isfinite(np.asarray(out.Q.logdensity)))
