@@ -30,6 +30,9 @@ def _ess_per_sec(positions: np.ndarray, seconds: float) -> tuple:
     return float(ess.min() / seconds), float(ess.mean() / seconds)
 
 
+POOLED = bool(int(os.environ.get("BENCH_POOLED", "1")))
+
+
 def _stages(metric_kind: str, warm: bool):
     from dynamichmc_tpu.stepsize import InitialStepsizeSearch
     from dynamichmc_tpu.warmup import TuningNUTS, default_warmup_stages
@@ -37,9 +40,9 @@ def _stages(metric_kind: str, warm: bool):
     if warm:
         return (
             InitialStepsizeSearch(),
-            TuningNUTS(N=20, metric_kind=metric_kind, pooled=True),
+            TuningNUTS(N=20, metric_kind=metric_kind, pooled=POOLED),
         )
-    return default_warmup_stages(metric_kind=metric_kind, pooled=True)
+    return default_warmup_stages(metric_kind=metric_kind, pooled=POOLED)
 
 
 def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
@@ -68,6 +71,15 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     positions = np.asarray(res.positions, np.float64)
     div = int(np.asarray(res.tree_statistics.is_divergent).sum())
     steps = int(np.asarray(res.tree_statistics.steps, np.int64).sum())
+    if res.tree_statistics.work is not None:
+        from dynamichmc_tpu.diagnostics import straggler_waste
+
+        print(
+            f"[bench] sampling-phase straggler waste: "
+            f"{straggler_waste(res.tree_statistics):.1%} "
+            "(leaf slots spent on terminated lanes)",
+            file=sys.stderr,
+        )
     return positions, seconds, div, steps
 
 

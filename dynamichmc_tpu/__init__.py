@@ -39,7 +39,13 @@ from .warmup import (
     fixed_stepsize_warmup_stages,
     initialize_warmup_state,
 )
-from .diagnostics import EBFMI, summarize_tree_statistics
+from .diagnostics import EBFMI, straggler_waste, summarize_tree_statistics
+from .reporting import (
+    LogProgressReport,
+    NoProgressReport,
+    TqdmProgressReport,
+    default_reporter,
+)
 from .stats import ess_rhat
 from .mcmc import (
     InferenceResult,
@@ -89,7 +95,12 @@ __all__ = [
     "pool_posterior_matrices",
     "stack_posterior_matrices",
     "EBFMI",
+    "straggler_waste",
     "summarize_tree_statistics",
     "ess_rhat",
+    "NoProgressReport",
+    "LogProgressReport",
+    "TqdmProgressReport",
+    "default_reporter",
     "__version__",
 ]

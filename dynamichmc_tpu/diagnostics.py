@@ -185,3 +185,22 @@ def leapfrog_trajectory(
         z = step(z, jnp.asarray(-eps, q.dtype))
         out.append(info(z, -i))
     return sorted(out, key=lambda r: r["position"])
+
+
+def straggler_waste(tree_statistics) -> float:
+    """Fraction of batch-native leaf slots spent on already-terminated lanes.
+
+    The batch-native driver (tree_batched.py) advances all chains in
+    lockstep, so every transition costs ``work`` leaf slots per chain (the
+    executed loop iterations) while only ``steps`` of them were useful per
+    chain. Returns ``1 - mean(steps) / mean(work)`` over all transitions —
+    the SURVEY.md hard-part-#2 variable-depth waste metric. Requires stats
+    from the batch-native driver (``work`` is not recorded by the per-chain
+    drivers).
+    """
+    if tree_statistics.work is None:
+        raise ValueError("straggler_waste needs batch-native tree statistics "
+                         "(per-chain drivers do not record work)")
+    steps = np.asarray(tree_statistics.steps, np.float64)
+    work = np.asarray(tree_statistics.work, np.float64)
+    return float(1.0 - steps.mean() / work.mean())

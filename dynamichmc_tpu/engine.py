@@ -139,6 +139,61 @@ def make_stage_driver(
     return stage
 
 
+def make_collecting_stage_driver(
+    ld: LogDensity,
+    algorithm: NUTS,
+    adaptation,
+    chunk: int,
+):
+    """Scan-based tuning-stage chunk that RECORDS per-step history
+    (positions, logdensities, eps, tree statistics) — the fast-engine path
+    for ``mcmc_keep_warmup`` (mcmc.jl:495-532).
+
+    (key, Q, metric, da_state, welford, start_i, n_total) ->
+        (Q', da_state', welford', per-step dict of (chunk, ...) arrays)
+
+    One fixed-``chunk`` program serves any stage length: steps with absolute
+    index >= ``n_total`` still execute but their state updates are masked to
+    no-ops (the host trims the recorded rows). Step keys are
+    ``fold_in(key, absolute_i)``, identical to ``make_stage_driver``, so
+    collected and non-collected warmups draw the same chains bitwise.
+    """
+    from .utils.pytree import tree_where
+
+    def stage(key, Q: EvaluatedPoint, metric: Metric, da_state, welford, start_i, n_total):
+        def step(carry, j):
+            i = start_i + j
+            active = i < n_total
+            step_key = jax.random.fold_in(key, i)
+            eps = adaptation.current(carry["da"])
+            Q_new, stats = sample_tree(
+                step_key, algorithm, ld, metric, carry["Q"], eps
+            )
+            da_new = adaptation.update(carry["da"], stats.acceptance_rate)
+            wf_new = welford_update(carry["wf"], Q_new.q)
+            new_carry = {
+                "Q": tree_where(active, Q_new, carry["Q"]),
+                "da": tree_where(active, da_new, carry["da"]),
+                "wf": tree_where(active, wf_new, carry["wf"]),
+            }
+            out = {
+                "positions": Q_new.q,
+                "logdensities": Q_new.logdensity,
+                "epss": eps,
+                "tree_statistics": stats,
+            }
+            return new_carry, out
+
+        carry, ys = jax.lax.scan(
+            step,
+            {"Q": Q, "da": da_state, "wf": welford},
+            jnp.arange(chunk, dtype=jnp.int32),
+        )
+        return carry["Q"], carry["da"], carry["wf"], ys
+
+    return stage
+
+
 def make_metric_update(kind: str, shrinkage: float, chain_axis):
     """(WelfordState) -> Metric; tiny program, one pmean when pooled."""
 
@@ -445,6 +500,17 @@ def execute(
                 max_depth_hits=totals["maxd"],
             )
         )
+        if log is not None and "work" in totals:
+            import numpy as _np
+
+            _steps = _np.asarray(totals["steps"], _np.float64)
+            _work = _np.asarray(totals["work"], _np.float64)
+            if _work.mean() > 0:
+                log(
+                    f"warmup block {i + 1} straggler waste: "
+                    f"{1 - _steps.mean() / _work.mean():.1%} "
+                    f"({_work.mean() / max(n, 1):.1f} slots/step)"
+                )
         eps = adaptation.final(da)
         if schedule.update_metric[i]:
             metric = programs.metric_updates[schedule.shrinkages[i]](wf)
@@ -620,6 +686,7 @@ def make_stage_driver_batched(
                 "div": carry["div"] + stats.is_divergent.astype(jnp.int32),
                 "steps": carry["steps"] + stats.steps,
                 "maxd": carry["maxd"] + stats.reached_max_depth.astype(jnp.int32),
+                "work": carry["work"] + stats.work,
             }
 
         out = jax.lax.while_loop(
@@ -634,6 +701,7 @@ def make_stage_driver_batched(
                 "div": jnp.zeros((c,), jnp.int32),
                 "steps": jnp.zeros((c,), jnp.int32),
                 "maxd": jnp.zeros((c,), jnp.int32),
+                "work": jnp.zeros((c,), jnp.int32),
             },
         )
         totals = {
@@ -641,6 +709,7 @@ def make_stage_driver_batched(
             "div": out["div"],
             "steps": out["steps"],
             "maxd": out["maxd"],
+            "work": out["work"],
         }
         return out["Q"], out["da"], out["wf"], totals
 

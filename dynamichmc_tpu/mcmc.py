@@ -179,6 +179,151 @@ def _fast_single_programs(ld: LogDensity, algorithm: NUTS, schedule, sample_chun
 
 
 @functools.lru_cache(maxsize=64)
+def _fast_keep_programs(ld: LogDensity, algorithm: NUTS, schedule,
+                        chunk: int = 16, sample_chunk: int = 32):
+    """Program bundle for the fast (watchdog-safe) keep-warmup path: the
+    shared search/metric/sampling programs plus ONE collecting stage program
+    (fixed chunk, masked past-end steps)."""
+    from .engine import build_programs, make_collecting_stage_driver
+
+    def wrap(fn, kind):
+        return jax.jit(fn)
+
+    programs = build_programs(
+        ld, algorithm, schedule, None, wrap, sample_chunk=sample_chunk
+    )
+    collect = jax.jit(
+        make_collecting_stage_driver(ld, algorithm, schedule.adaptation, chunk)
+    )
+    return programs, collect, chunk
+
+
+def _mcmc_keep_warmup_fast(
+    run_key, ld, n_samples, initial_state, warmup_stages, schedule, algorithm,
+    collect_warmup_positions: bool,
+):
+    """Keep-warmup through the fast engine: one collecting tree program for
+    all stages (runtime trip count + masking), dispatched in watchdog-safe
+    chunks — compiles in seconds where the scan-based path inlines one tree
+    program per stage, and never exceeds the TPU single-dispatch budget."""
+    from .engine import welford_zero
+    from .stepsize import InitialStepsizeSearch
+    from .warmup import WarmupState, estimate_metric
+
+    programs, collect, chunk = _fast_keep_programs(ld, algorithm, schedule)
+    adaptation = schedule.adaptation
+
+    def key_fold(i):
+        return jax.random.fold_in(run_key, i)
+
+    def strong(tree):
+        return jax.tree_util.tree_map(lambda x: x.astype(x.dtype), tree)
+
+    Q = initial_state.Q
+    metric = initial_state.metric
+    eps = initial_state.eps
+
+    search_results = None
+    if schedule.search is not None:
+        if eps is not None:
+            raise DynamicHMCError(
+                "stepsize eps manually specified, won't perform initial search"
+            )
+        eps, success = programs.search(key_fold(0), Q, metric)
+        search_results = {"eps": eps, "success": success}
+    elif eps is None:
+        raise DynamicHMCError("no stepsize: provide eps or a search stage")
+    eps = strong(eps)
+    eps_after_search = eps
+
+    block_results = []
+    for i, n in enumerate(schedule.block_sizes):
+        stage_key = key_fold(i + 1)
+        da = strong(adaptation.init(eps))
+        wf = welford_zero(Q, programs.dense_welford)
+        pieces = []
+        for start in range(0, n, chunk):
+            Q, da, wf, ys = collect(
+                stage_key, Q, metric, da, wf, jnp.int32(start), jnp.int32(n)
+            )
+            pieces.append(ys)
+        ys = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs)[:n] if len(xs) > 1 else xs[0][:n],
+            *pieces,
+        )
+        eps = adaptation.final(da)
+        if schedule.update_metric[i]:
+            metric = programs.metric_updates[schedule.shrinkages[i]](wf)
+        results = {
+            "logdensities": ys["logdensities"],
+            "tree_statistics": ys["tree_statistics"],
+            "epss": ys["epss"],
+        }
+        if collect_warmup_positions:
+            results["positions"] = ys["positions"]
+        block_results.append(
+            (results, WarmupState(Q=Q, metric=metric, eps=eps))
+        )
+
+    # align history with the ORIGINAL stage tuple (None stages are no-ops,
+    # the search precedes the tuning blocks; mcmc.jl:450-457)
+    history = []
+    blocks = iter(block_results)
+    state_now = WarmupState(Q=initial_state.Q, metric=initial_state.metric,
+                            eps=initial_state.eps)
+    for stage in warmup_stages:
+        if stage is None:
+            history.append((None, None, state_now))
+        elif isinstance(stage, InitialStepsizeSearch):
+            state_now = WarmupState(
+                Q=initial_state.Q, metric=initial_state.metric,
+                eps=eps_after_search,
+            )
+            history.append((stage, search_results, state_now))
+        else:
+            results, state_now = next(blocks)
+            history.append((stage, results, state_now))
+    final_state = WarmupState(Q=Q, metric=metric, eps=eps)
+
+    # sampling: fixed-size chunks (same key/fold convention as engine.execute)
+    sample_key = key_fold(len(schedule.block_sizes) + 1)
+    n_chunks = -(-n_samples // programs.sample_chunk)
+    pieces = []
+    for c in range(n_chunks):
+        Q, qs, lds, stats = programs.sample(
+            sample_key, Q, metric, eps, jnp.int32(c * programs.sample_chunk)
+        )
+        pieces.append((qs, lds, stats))
+
+    if n_chunks == 0:  # warmup-only inspection (n_samples == 0)
+        _, qs_s, lds_s, stats_s = jax.eval_shape(
+            programs.sample, sample_key, Q, metric, eps, jnp.int32(0)
+        )
+
+        def empty(s):
+            return jnp.zeros((0,) + s.shape[1:], s.dtype)
+
+        return history, final_state, InferenceResult(
+            positions=empty(qs_s),
+            logdensities=empty(lds_s),
+            tree_statistics=jax.tree_util.tree_map(empty, stats_s),
+        )
+
+    def concat(xs):
+        out = jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+        return out[:n_samples]
+
+    inference = InferenceResult(
+        positions=concat([p[0] for p in pieces]),
+        logdensities=concat([p[1] for p in pieces]),
+        tree_statistics=jax.tree_util.tree_map(
+            lambda *xs: concat(list(xs)), *[p[2] for p in pieces]
+        ),
+    )
+    return history, final_state, inference
+
+
+@functools.lru_cache(maxsize=64)
 def _build_run(
     ld: LogDensity,
     algorithm: NUTS,
@@ -218,13 +363,33 @@ def mcmc_keep_warmup(
     (stage, results, state-after) triples), ``final_warmup_state`` and
     ``inference``.
     """
+    from .engine import WarmupSchedule
+    from .reporting import NoProgressReport, default_reporter
+
     if warmup_stages is None:
         warmup_stages = default_warmup_stages()
+    if reporter is None:
+        reporter = default_reporter()  # reporting.jl:184-190 via mcmc.jl:521-532
     init_key, run_key = jax.random.split(jnp.asarray(key))
     initial_state = initialize_warmup_state(
         init_key, ld, dtype=dtype, **initialization
     )
-    if reporter is None:
+    schedule = WarmupSchedule.from_stages(tuple(warmup_stages))
+    if schedule is not None and not reporter.wants_step_callbacks:
+        # fast engine with per-step history collection: TPU-safe (chunked
+        # dispatches, one tree compilation for all stages)
+        history, final_state, inference = _mcmc_keep_warmup_fast(
+            run_key, ld, n_samples, initial_state, tuple(warmup_stages),
+            schedule, algorithm, collect_warmup_positions,
+        )
+        _check_stepsize_search(history)
+        return {
+            "initial_warmup_state": initial_state,
+            "warmup": history,
+            "final_warmup_state": final_state,
+            "inference": inference,
+        }
+    if isinstance(reporter, NoProgressReport):
         run = _build_run(
             ld,
             algorithm,
@@ -288,22 +453,32 @@ def mcmc_with_warmup(
     statistics, log densities, and the adapted metric + stepsize.
 
     When the stage tuple is expressible as a normalized schedule (the default
-    and fixed-stepsize schedules are) and no step-callback reporter is set,
-    runs through the fast engine: one tree-program compilation for the whole
-    warmup, chunked into watchdog-safe dispatches.
+    and fixed-stepsize schedules are) and no explicit step-callback reporter
+    is set, runs through the fast engine: one tree-program compilation for the
+    whole warmup, chunked into watchdog-safe dispatches. ``reporter=None``
+    means ``default_reporter()`` (interactive sessions get stage-boundary
+    progress logging, non-interactive are silent, reporting.jl:184-190); an
+    explicit reporter with step callbacks selects the scan-based path.
     """
     from .engine import WarmupSchedule, execute
+    from .reporting import default_reporter, stage_log
+
+    default_injected = reporter is None
+    if default_injected:
+        reporter = default_reporter()
 
     stages = tuple(warmup_stages) if warmup_stages is not None else default_warmup_stages()
     schedule = WarmupSchedule.from_stages(stages)
-    if schedule is not None and reporter is None:
+    if schedule is not None and (
+        default_injected or not reporter.wants_step_callbacks
+    ):
         init_key, run_key = jax.random.split(jnp.asarray(key))
         state = initialize_warmup_state(init_key, ld, dtype=dtype, **initialization)
         programs = _fast_single_programs(ld, algorithm, schedule)
         key_fold = lambda i: jax.random.fold_in(run_key, i)  # noqa: E731
         metric, eps, search_results, _summaries, inference = execute(
             programs, schedule, key_fold, state.Q, state.metric, state.eps,
-            n_samples,
+            n_samples, log=stage_log(reporter),
         )
         if search_results is not None:
             _check_stepsize_search([(None, search_results, None)])

@@ -40,16 +40,31 @@ DEFAULT_MAX_TREE_DEPTH = 10
 
 @dataclasses.dataclass(frozen=True)
 class NUTS:
-    """Algorithm configuration (static under jit), cf. NUTS.jl:178-195."""
+    """Algorithm configuration (static under jit), cf. NUTS.jl:178-195.
+
+    ``turn_statistic_configuration`` mirrors NUTS.jl:184-189 (default
+    ``Val(:generalized)``): the string ``"generalized"`` selects the built-in
+    generalized U-turn statistic; a custom (hashable) object providing
+    ``leaf(metric, z) -> tau`` and ``combine(metric, tau_x, tau_y) ->
+    (tau, turning)`` routes the transition through the generic tree driver
+    with that statistic (the fast/batch-native drivers require the default).
+    """
 
     max_depth: int = DEFAULT_MAX_TREE_DEPTH
     min_delta: float = -1000.0
+    turn_statistic_configuration: object = "generalized"
 
     def __post_init__(self):
         if not 0 < self.max_depth <= 32:
             raise ValueError("max_depth must be in 1..32")
         if not self.min_delta < 0:
             raise ValueError("min_delta must be negative")
+        c = self.turn_statistic_configuration
+        if c != "generalized" and not (hasattr(c, "leaf") and hasattr(c, "combine")):
+            raise ValueError(
+                "turn_statistic_configuration must be 'generalized' or an "
+                "object with leaf(metric, z) and combine(metric, x, y)"
+            )
 
 
 @pytree_dataclass
@@ -94,6 +109,11 @@ class TreeStatistics:
     acceptance_rate: jnp.ndarray
     steps: jnp.ndarray  # int32, number of leapfrog steps (= gradient evals)
     directions: jnp.ndarray  # uint32 direction bits
+    # batch-native driver only: leaf SLOTS executed for the whole batch this
+    # transition (same value on every chain) — steps.mean/work.mean is the
+    # useful-work fraction, the straggler-waste diagnostic. None from the
+    # per-chain drivers.
+    work: Optional[jnp.ndarray] = None
 
     @property
     def is_divergent(self):
@@ -134,10 +154,14 @@ def _combine_turn_statistics(x: GeneralizedTurnStatistic, y: GeneralizedTurnStat
 
 
 def make_trajectory_ops(
-    ld: LogDensity, metric: Metric, pi0, eps, min_delta
+    ld: LogDensity, metric: Metric, pi0, eps, min_delta,
+    turn_statistic_configuration="generalized",
 ) -> TrajectoryOps:
     """Build the TrajectoryOps bundle for one NUTS transition
-    (cf. TrajectoryNUTS, NUTS.jl:15-53, 148-159)."""
+    (cf. TrajectoryNUTS, NUTS.jl:15-53, 148-159). A non-default
+    ``turn_statistic_configuration`` supplies the leaf/combine turn-statistic
+    pair (leaf_turn_statistic dispatch, NUTS.jl:120-139)."""
+    custom = turn_statistic_configuration != "generalized"
 
     def move(z: PhasePoint, is_forward):
         signed_eps = jnp.where(is_forward, eps, -eps)
@@ -157,13 +181,19 @@ def make_trajectory_ops(
                 log_sum_alpha=jnp.minimum(delta, 0.0), steps=jnp.int32(1)
             )
             divergent = delta < min_delta
-        psharp = calculate_psharp(metric, z)
-        tau = GeneralizedTurnStatistic(
-            p_minus=z.p, psharp_minus=psharp, p_plus=z.p, psharp_plus=psharp, rho=z.p
-        )
+        if custom:
+            tau = turn_statistic_configuration.leaf(metric, z)
+        else:
+            psharp = calculate_psharp(metric, z)
+            tau = GeneralizedTurnStatistic(
+                p_minus=z.p, psharp_minus=psharp, p_plus=z.p,
+                psharp_plus=psharp, rho=z.p,
+            )
         return z, delta, tau, divergent, v
 
     def combine_turn(tau_x, tau_y):
+        if custom:
+            return turn_statistic_configuration.combine(metric, tau_x, tau_y)
         return _combine_turn_statistics(tau_x, tau_y)
 
     def calculate_logprob2(is_doubling, w1, w2, w):
@@ -308,6 +338,10 @@ def sample_tree(
     pi0 = joint_logdensity(metric, z)
     min_delta = jnp.asarray(algorithm.min_delta, pi0.dtype)
 
+    if algorithm.turn_statistic_configuration != "generalized":
+        # custom turn statistics run through the generic driver
+        fast = False
+
     if fast:
         ops = make_fast_trajectory_ops(ld, metric, pi0, eps, min_delta)
         result = sample_trajectory_fast(
@@ -319,7 +353,10 @@ def sample_tree(
         )
         pi_new = payload["pi"]
     else:
-        ops = make_trajectory_ops(ld, metric, pi0, eps, min_delta)
+        ops = make_trajectory_ops(
+            ld, metric, pi0, eps, min_delta,
+            algorithm.turn_statistic_configuration,
+        )
         result = sample_trajectory(ops, k_tree, z, algorithm.max_depth, directions)
         zeta: PhasePoint = result.zeta
         Q_new = zeta.Q

@@ -98,6 +98,7 @@ def run_chains(
     mesh: Optional[Mesh] = None,
     log=None,
     draw_sink=None,
+    reporter=None,
 ) -> MCMCResult:
     """Run ``n_chains`` independently-warmed NUTS chains, batched on device.
 
@@ -105,9 +106,17 @@ def run_chains(
     is sharded over the mesh's '{CHAIN_AXIS}' axis via shard_map; n_chains
     must be divisible by the mesh size.
 
+    ``reporter=None`` means ``default_reporter()`` (interactive sessions get
+    stage-boundary progress via the engine's ``log`` hook, else silent); an
+    explicit ``log`` callable takes precedence.
+
     Returns a batched :class:`MCMCResult` with ``positions`` of shape
     (n_chains, n_samples, K).
     """
+    if log is None:
+        from ..reporting import default_reporter, stage_log
+
+        log = stage_log(default_reporter() if reporter is None else reporter)
     if warmup_stages is None:
         warmup_stages = default_warmup_stages()
     if mesh is not None:
@@ -125,6 +134,8 @@ def run_chains(
         return _run_chains_fast(
             schedule, ld, algorithm, n_samples, states, chain_keys, mesh,
             log=log, draw_sink=draw_sink,
+            # custom turn statistics need the generic per-chain driver
+            batched=algorithm.turn_statistic_configuration == "generalized",
         )
 
     lean = dict(

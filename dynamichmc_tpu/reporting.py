@@ -144,3 +144,16 @@ def default_reporter():
     if sys.stdout.isatty():
         return LogProgressReport()
     return NoProgressReport()
+
+
+def stage_log(reporter):
+    """The engine's stage-boundary ``log`` hook for a reporter: ``None`` for
+    silent reporters (no per-chunk host sync), else a message callable.
+
+    This is how the default interactive reporter attaches to the fast engine
+    (reporting.jl:184-190 wired via mcmc.jl:521-532) without per-step host
+    callbacks: progress is reported at each watchdog-safe dispatch boundary.
+    """
+    if reporter is None or isinstance(reporter, NoProgressReport):
+        return None
+    return reporter.report_message

@@ -139,6 +139,11 @@ def sample_tree_batched(
     directions: Optional[jnp.ndarray] = None,  # (C,) uint32
 ):
     """One NUTS transition for a whole chain batch. Returns (Q', stats)."""
+    if algorithm.turn_statistic_configuration != "generalized":
+        raise NotImplementedError(
+            "the batch-native driver supports only the generalized turn "
+            "statistic; use sample_tree(fast=False) for custom statistics"
+        )
     C, K = Q.q.shape
     dtype = Q.q.dtype
     max_depth = algorithm.max_depth
@@ -149,49 +154,88 @@ def sample_tree_batched(
     if directions is None:
         directions = jax.random.bits(k_dir, (C,), jnp.uint32)
     eps = jnp.broadcast_to(jnp.asarray(eps, dtype), (C,))
-    pi0 = _joint_b(metric, Q.logdensity, p0)
     min_delta = jnp.asarray(algorithm.min_delta, dtype)
     neg_inf = jnp.asarray(-jnp.inf, dtype)
 
-    def turn_checks(pm_x, pp_x, rho_x, pm_y, pp_y, rho_y):
+    # Dense metrics CARRY psharp (M^-1 p) for the two edge momenta: since
+    # M^-1 is symmetric, dot(p_edge, M^-1 r) == dot(psharp_edge, r), so every
+    # merge-time turn check becomes a plain dot — the per-leaf psharp (already
+    # needed for the kinetic energy) is computed ONCE and reused, cutting
+    # dense metric applications from ~5 to 2 per leaf (the per-chain dense
+    # (C, K, K) read is the hot loop's dominant HBM traffic). Diagonal
+    # metrics keep the compact 3-vector statistic (psharp is elementwise;
+    # the two extra stack arrays would cost more than they save).
+    carry_psharp = not isinstance(metric, DiagonalMetric)
+    tau_len = 5 if carry_psharp else 3
+
+    def _pi_and_psharp(ld_vals, p):
+        """Joint log density; for psharp-carrying metrics also M^-1 p."""
+        if carry_psharp:
+            sp = psharp_b(metric, p)
+            k = 0.5 * jnp.sum(p * sp, axis=-1)
+        else:
+            sp = None
+            k = kinetic_b(metric, p)
+        k = jnp.where(jnp.isfinite(k), k, jnp.inf)
+        return jnp.where(jnp.isfinite(ld_vals), ld_vals - k, -jnp.inf), sp
+
+    def leaf_tau(p, sp):
+        if carry_psharp:
+            return (p, p, p, sp, sp)
+        return (p, p, p)
+
+    def turn_checks(pm_x, pp_x, rho_x, pm_y, pp_y, rho_y, sp_x, sp_y):
         """Three-way generalized U-turn (NUTS.jl:132-139) in trajectory-time
-        order (x earlier); psharp folded into the dots."""
+        order (x earlier); psharp folded into the dots (diagonal) or carried
+        (dense). sp_x = (psharp_minus_x, psharp_plus_x), likewise sp_y."""
         r1 = rho_x + pm_y
-        t1 = (_dot(pm_x, psharp_b(metric, r1)) < 0) | (
-            _dot(pm_y, psharp_b(metric, r1)) < 0
-        )
         r2 = pp_x + rho_y
-        t2 = (_dot(pp_x, psharp_b(metric, r2)) < 0) | (
-            _dot(pp_y, psharp_b(metric, r2)) < 0
-        )
         rho = rho_x + rho_y
-        t3 = (_dot(pm_x, psharp_b(metric, rho)) < 0) | (
-            _dot(pp_y, psharp_b(metric, rho)) < 0
-        )
+        if carry_psharp:
+            spm_x, spp_x = sp_x
+            spm_y, spp_y = sp_y
+            t1 = (_dot(spm_x, r1) < 0) | (_dot(spm_y, r1) < 0)
+            t2 = (_dot(spp_x, r2) < 0) | (_dot(spp_y, r2) < 0)
+            t3 = (_dot(spm_x, rho) < 0) | (_dot(spp_y, rho) < 0)
+        else:
+            mr1 = psharp_b(metric, r1)
+            t1 = (_dot(pm_x, mr1) < 0) | (_dot(pm_y, mr1) < 0)
+            mr2 = psharp_b(metric, r2)
+            t2 = (_dot(pp_x, mr2) < 0) | (_dot(pp_y, mr2) < 0)
+            mrho = psharp_b(metric, rho)
+            t3 = (_dot(pm_x, mrho) < 0) | (_dot(pp_y, mrho) < 0)
         return rho, t1 | t2 | t3
 
     def combine_dir(tau_first, tau_second, is_fwd):
-        """tau = (p_minus, p_plus, rho); first precedes second in traversal
-        order; swap into time order per lane when moving backward."""
-        pm1, pp1, rho1 = tau_first
-        pm2, pp2, rho2 = tau_second
+        """tau = (p_minus, p_plus, rho[, psharp_minus, psharp_plus]); first
+        precedes second in traversal order; swap into time order per lane
+        when moving backward."""
         f = is_fwd[:, None]
-        pm_x = jnp.where(f, pm1, pm2)
-        pp_x = jnp.where(f, pp1, pp2)
-        rho_x = jnp.where(f, rho1, rho2)
-        pm_y = jnp.where(f, pm2, pm1)
-        pp_y = jnp.where(f, pp2, pp1)
-        rho_y = jnp.where(f, rho2, rho1)
-        rho, turning = turn_checks(pm_x, pp_x, rho_x, pm_y, pp_y, rho_y)
+        x = tuple(jnp.where(f, a, b) for a, b in zip(tau_first, tau_second))
+        y = tuple(jnp.where(f, b, a) for a, b in zip(tau_first, tau_second))
+        if carry_psharp:
+            pm_x, pp_x, rho_x, spm_x, spp_x = x
+            pm_y, pp_y, rho_y, spm_y, spp_y = y
+            rho, turning = turn_checks(
+                pm_x, pp_x, rho_x, pm_y, pp_y, rho_y,
+                (spm_x, spp_x), (spm_y, spp_y),
+            )
+            return (pm_x, pp_y, rho, spm_x, spp_y), turning
+        pm_x, pp_x, rho_x = x
+        pm_y, pp_y, rho_y = y
+        rho, turning = turn_checks(
+            pm_x, pp_x, rho_x, pm_y, pp_y, rho_y, None, None
+        )
         return (pm_x, pp_y, rho), turning
 
+    pi0, sp0 = _pi_and_psharp(Q.logdensity, p0)
     z0 = _Edge(q=Q.q, p=p0, grad=Q.grad, ld=Q.logdensity)
 
     def adjacent(carry_key, d, z_edge: _Edge, i_edge, is_fwd, engaged):
         """Build the depth-d adjacent trees for all engaged lanes."""
         stack = tuple(
-            jnp.zeros((S, C, K), dtype) for _ in range(3)
-        )  # p_minus, p_plus, rho, level-major
+            jnp.zeros((S, C, K), dtype) for _ in range(tau_len)
+        )  # p_minus, p_plus, rho [, psharp_minus, psharp_plus], level-major
         step = jnp.where(is_fwd, jnp.int32(1), jnp.int32(-1))
         n_leaves = jnp.int32(1) << d
 
@@ -206,9 +250,10 @@ def sample_tree_batched(
                     metric, c["z"].q, c["z"].p, c["z"].grad, eps_signed
                 )
                 z = _Edge(q=qn, p=pn, grad=gn, ld=ldn)
+                sp = psharp_b(metric, z.p) if carry_psharp else None
             else:
                 z = _leapfrog_b(ld, metric, c["z"], eps_signed)
-                pi = _joint_b(metric, z.ld, z.p)
+                pi, sp = _pi_and_psharp(z.ld, z.p)
             i_new = i_edge + step * (c["n"] + jnp.int32(1))
             delta = pi - pi0
             divergent = delta < min_delta
@@ -234,7 +279,7 @@ def sample_tree_batched(
             )
 
             # merge pending subtrees: scalar trailing-one levels of n
-            node = (z.p, z.p, z.p)
+            node = leaf_tau(z.p, sp)
             turned = jnp.zeros((C,), bool)
             turn_left = jnp.zeros((C,), jnp.int32)
 
@@ -335,6 +380,10 @@ def sample_tree_batched(
 
         log_sum = jnp.logaddexp(c["log_sum"], adj["log_sum"])
         steps = c["steps"] + adj["steps"]
+        # straggler instrumentation: leaf SLOTS the whole batch paid for this
+        # doubling (the adjacent loop runs while ANY lane builds) — adj["n"]
+        # is its executed iteration count
+        work = c["work"] + adj["n"]
 
         fwd_valid = valid & is_fwd
         bwd_valid = valid & ~is_fwd
@@ -392,6 +441,7 @@ def sample_tree_batched(
             "tau": tau,
             "log_sum": log_sum,
             "steps": steps,
+            "work": work,
             "depth": depth,
             "terminated": c["terminated"] | newly_term,
             "term_left": term_left,
@@ -410,7 +460,8 @@ def sample_tree_batched(
         "prop_grad": Q.grad,
         "prop_pi": pi0,
         "omega": jnp.zeros((C,), dtype),
-        "tau": (p0, p0, p0),
+        "tau": leaf_tau(p0, sp0),
+        "work": jnp.int32(0),
         "log_sum": jnp.full((C,), -jnp.inf, dtype),
         "steps": jnp.zeros((C,), jnp.int32),
         "depth": jnp.zeros((C,), jnp.int32),
@@ -433,6 +484,7 @@ def sample_tree_batched(
         acceptance_rate=jnp.minimum(jnp.exp(out["log_sum"]) / steps, 1.0),
         steps=out["steps"],
         directions=directions,
+        work=jnp.broadcast_to(out["work"], (C,)),
     )
     Q_new = EvaluatedPoint(
         q=out["prop_q"], logdensity=out["prop_ld"], grad=out["prop_grad"]

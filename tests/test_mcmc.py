@@ -171,3 +171,27 @@ def test_reshapers():
     assert stacked.shape == (200, 2, 3)
     pooled = pool_posterior_matrices(results)
     assert pooled.shape == (3, 400)
+
+
+def test_keep_warmup_matches_fast_engine():
+    """mcmc_keep_warmup's collecting fast path and mcmc_with_warmup's
+    non-collecting fast engine share key-derivation conventions, so the same
+    seed must produce bitwise-identical adapted state and draws."""
+    ld = std_mvn(3)
+    key = jax.random.PRNGKey(21)
+    out = mcmc_keep_warmup(key, ld, 16, dtype=jnp.float64)
+    res = mcmc_with_warmup(key, ld, 16, dtype=jnp.float64)
+    final = out["final_warmup_state"]
+    np.testing.assert_array_equal(np.asarray(final.eps), np.asarray(res.eps))
+    np.testing.assert_array_equal(
+        np.asarray(final.metric.m_inv), np.asarray(res.metric.m_inv)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["inference"].positions), np.asarray(res.positions)
+    )
+    # per-stage history: epss and tree statistics recorded at every step
+    tuning = [h for h in out["warmup"] if getattr(h[0], "N", None)]
+    assert [h[0].N for h in tuning] == [75, 25, 50, 100, 200, 400, 50]
+    for stage, results, _state in tuning:
+        assert results["epss"].shape == (stage.N,)
+        assert results["tree_statistics"].depth.shape == (stage.N,)

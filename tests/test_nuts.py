@@ -193,3 +193,88 @@ def test_fixed_directions_injectable():
         out.append((np.asarray(Q1.q), int(stats.directions)))
     np.testing.assert_array_equal(out[0][0], out[1][0])
     assert out[0][1] == 0b1010101
+
+
+# --- turn_statistic_configuration hook (NUTS.jl:178-195) -------------------------
+
+
+class _GeneralizedReimpl:
+    """Custom configuration reimplementing the generalized statistic: the
+    hook must reproduce the default driver's transitions exactly."""
+
+    def leaf(self, metric, z):
+        from dynamichmc_tpu.hamiltonian import calculate_psharp
+
+        psharp = calculate_psharp(metric, z)
+        return GeneralizedTurnStatistic(
+            p_minus=z.p, psharp_minus=psharp, p_plus=z.p,
+            psharp_plus=psharp, rho=z.p,
+        )
+
+    def combine(self, metric, x, y):
+        return _combine_turn_statistics(x, y)
+
+
+class _NeverTurning:
+    """Pathological configuration: no merge ever turns, so every transition
+    terminates at max depth or divergence."""
+
+    def leaf(self, metric, z):
+        return GeneralizedTurnStatistic(
+            p_minus=z.p, psharp_minus=z.p, p_plus=z.p, psharp_plus=z.p,
+            rho=z.p,
+        )
+
+    def combine(self, metric, x, y):
+        combined = GeneralizedTurnStatistic(
+            p_minus=x.p_minus, psharp_minus=x.psharp_minus,
+            p_plus=y.p_plus, psharp_plus=y.psharp_plus, rho=x.rho + y.rho,
+        )
+        return combined, jnp.asarray(False)
+
+
+def test_turn_statistic_configuration_validation():
+    import pytest
+
+    NUTS(turn_statistic_configuration="generalized")
+    NUTS(turn_statistic_configuration=_NeverTurning())
+    with pytest.raises(ValueError):
+        NUTS(turn_statistic_configuration="betancourt")
+
+
+def test_custom_turn_statistic_matches_default():
+    ld = from_logdensity_fn(3, lambda q: -0.5 * jnp.sum(q**2))
+    metric = identity_metric(3, dtype=jnp.float64)
+    Q = evaluate(ld, jnp.array([0.3, -0.8, 1.1], jnp.float64))
+    default = NUTS()
+    custom = NUTS(turn_statistic_configuration=_GeneralizedReimpl())
+    for i in range(5):
+        key = jax.random.fold_in(KEY, i)
+        Q1, s1 = sample_tree(key, default, ld, metric, Q, 0.5, fast=False)
+        Q2, s2 = sample_tree(key, custom, ld, metric, Q, 0.5)
+        np.testing.assert_allclose(np.asarray(Q1.q), np.asarray(Q2.q))
+        assert int(s1.depth) == int(s2.depth)
+        assert int(s1.steps) == int(s2.steps)
+
+
+def test_never_turning_statistic_reaches_max_depth():
+    ld = from_logdensity_fn(2, lambda q: -0.5 * jnp.sum(q**2))
+    metric = identity_metric(2, dtype=jnp.float64)
+    Q = evaluate(ld, jnp.array([0.1, 0.2], jnp.float64))
+    algo = NUTS(max_depth=4, turn_statistic_configuration=_NeverTurning())
+    _, stats = sample_tree(KEY, algo, ld, metric, Q, 0.05)
+    assert bool(stats.reached_max_depth)
+    assert int(stats.steps) == 2**4 - 1
+
+
+def test_batch_native_rejects_custom_turn_statistic():
+    import pytest
+
+    from dynamichmc_tpu.tree_batched import sample_tree_batched
+
+    ld = from_logdensity_fn(2, lambda q: -0.5 * jnp.sum(q**2))
+    metric = identity_metric(2, dtype=jnp.float64)
+    Q = evaluate(ld, jnp.zeros(2, jnp.float64))  # raise precedes any use of Q
+    algo = NUTS(turn_statistic_configuration=_NeverTurning())
+    with pytest.raises(NotImplementedError):
+        sample_tree_batched(KEY, algo, ld, metric, Q, 0.5)

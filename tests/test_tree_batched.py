@@ -116,3 +116,26 @@ def test_stationarity_all_metric_representations():
             np.cov(qs.T), cov, rtol=0.2, atol=0.25, err_msg=name
         )
         assert not np.asarray(stats.is_divergent).any(), name
+
+
+def test_work_instrumentation_and_straggler_waste():
+    """The batch-native driver records executed leaf slots (work): work is
+    shared across the batch, bounds steps from above, and the waste metric
+    is a sane fraction."""
+    from dynamichmc_tpu.diagnostics import straggler_waste
+
+    c, k = 8, 3
+    ld = std_normal(k)
+    q = jax.random.normal(jax.random.PRNGKey(5), (c, k), jnp.float64)
+    Q = batched_Q(ld, q)
+    metric = identity_metric(k, dtype=jnp.float64)
+    _, stats = jax.jit(
+        lambda key, Q: sample_tree_batched(key, NUTS(), ld, metric, Q, 0.4)
+    )(KEY, Q)
+    work = np.asarray(stats.work)
+    steps = np.asarray(stats.steps)
+    assert work.shape == (c,)
+    assert np.all(work == work[0])  # one loop bound for the whole batch
+    assert np.all(work >= steps)
+    waste = straggler_waste(stats)
+    assert 0.0 <= waste < 1.0
