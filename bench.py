@@ -34,14 +34,13 @@ POOLED = bool(int(os.environ.get("BENCH_POOLED", "1")))
 
 
 def _stages(metric_kind: str, warm: bool):
-    from dynamichmc_tpu.stepsize import InitialStepsizeSearch
-    from dynamichmc_tpu.warmup import TuningNUTS, default_warmup_stages
+    from dynamichmc_tpu.warmup import default_warmup_stages
 
-    if warm:
-        return (
-            InitialStepsizeSearch(),
-            TuningNUTS(N=20, metric_kind=metric_kind, pooled=POOLED),
-        )
+    # the warm (untimed) run MUST use the same stage tuple: the compiled
+    # program bundle is cached per (model, algorithm, schedule), so a
+    # different warm schedule would leave the real run compiling its
+    # sampling program inside the timed region (~10 s on this chip).
+    del warm
     return default_warmup_stages(metric_kind=metric_kind, pooled=POOLED)
 
 
@@ -131,10 +130,14 @@ def main():
     ess_min_rate, ess_mean_rate = _ess_per_sec(positions, seconds)
     grad_evals_per_sec = steps / seconds
 
-    base_positions, base_seconds = run_cpu_baseline(
-        dim, max(n_samples, 512), metric_kind
-    )
-    base_min_rate, base_mean_rate = _ess_per_sec(base_positions, base_seconds)
+    if int(os.environ.get("BENCH_BASELINE", "1")):
+        base_positions, base_seconds = run_cpu_baseline(
+            dim, max(n_samples, 512), metric_kind
+        )
+        base_min_rate, base_mean_rate = _ess_per_sec(base_positions, base_seconds)
+    else:  # ad-hoc measurement runs: skip the (slow) 1-core baseline
+        base_min_rate = base_mean_rate = 0.0
+        base_seconds = 0.0
 
     print(
         f"[bench] backend={backend} chains={n_chains} dim={dim} "

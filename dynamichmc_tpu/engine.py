@@ -423,6 +423,7 @@ def execute(
     adaptation = programs.adaptation
     from .errors import DynamicHMCError
 
+    t_start = _time.perf_counter()
     search_results = None
     if schedule.search is not None:
         if eps is not None:
@@ -433,6 +434,9 @@ def execute(
         search_results = {"eps": eps, "success": success}
     elif eps is None:
         raise DynamicHMCError("no stepsize: provide eps or a search stage")
+    if log is not None:
+        jax.block_until_ready(eps)
+        log(f"stepsize search: {_time.perf_counter() - t_start:.1f}s")
 
     def strong(tree):
         # strip weak_type flags so eagerly-built states hash identically to
@@ -521,6 +525,7 @@ def execute(
     sample_key = key_fold(len(schedule.block_sizes) + 1)
     n_chunks = -(-n_samples // programs.sample_chunk)
     pieces = []
+    t_sample = _time.perf_counter()
     for c in range(n_chunks):
         Q, qs, lds, stats = programs.sample(
             sample_key, Q, metric, eps, jnp.int32(c * programs.sample_chunk)
@@ -530,9 +535,12 @@ def execute(
             pieces.append((None, None, stats))
         else:
             pieces.append((qs, lds, stats))
-        if log is not None and (c + 1) % 16 == 0:
+        if log is not None:
             jax.block_until_ready(lds)
-            log(f"sampling: {(c + 1) * programs.sample_chunk}/{n_samples}")
+            log(
+                f"sampling: {min((c + 1) * programs.sample_chunk, n_samples)}"
+                f"/{n_samples} ({_time.perf_counter() - t_sample:.1f}s)"
+            )
     n_batch_dims = Q.q.ndim - 1
     axis = n_batch_dims
 

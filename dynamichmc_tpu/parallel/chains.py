@@ -281,7 +281,15 @@ def _run_chains_fast(
     batched: bool = True,
 ) -> MCMCResult:
     if batched:
-        programs = _fast_programs_batched(ld, algorithm, schedule, mesh)
+        # Dispatch-overhead amortization: each device dispatch pays a fixed
+        # RPC/launch cost (hundreds of ms through a tunneled chip), so draw
+        # chunks are sized as large as memory comfortably allows — target
+        # <= ~256 MB of positions per chunk at f32.
+        c, k = states.Q.q.shape
+        sample_chunk = int(max(8, min(128, (1 << 26) // max(c * k, 1))))
+        programs = _fast_programs_batched(
+            ld, algorithm, schedule, mesh, sample_chunk=sample_chunk
+        )
     else:
         programs = _fast_programs(ld, algorithm, schedule, mesh)
     metric0 = states.metric

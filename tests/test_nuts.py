@@ -248,10 +248,12 @@ def test_custom_turn_statistic_matches_default():
     Q = evaluate(ld, jnp.array([0.3, -0.8, 1.1], jnp.float64))
     default = NUTS()
     custom = NUTS(turn_statistic_configuration=_GeneralizedReimpl())
+    f1 = jax.jit(lambda k, Q: sample_tree(k, default, ld, metric, Q, 0.5, fast=False))
+    f2 = jax.jit(lambda k, Q: sample_tree(k, custom, ld, metric, Q, 0.5))
     for i in range(5):
         key = jax.random.fold_in(KEY, i)
-        Q1, s1 = sample_tree(key, default, ld, metric, Q, 0.5, fast=False)
-        Q2, s2 = sample_tree(key, custom, ld, metric, Q, 0.5)
+        Q1, s1 = f1(key, Q)
+        Q2, s2 = f2(key, Q)
         np.testing.assert_allclose(np.asarray(Q1.q), np.asarray(Q2.q))
         assert int(s1.depth) == int(s2.depth)
         assert int(s1.steps) == int(s2.steps)
