@@ -41,7 +41,10 @@ def _stages(metric_kind: str, warm: bool):
     # different warm schedule would leave the real run compiling its
     # sampling program inside the timed region (~10 s on this chip).
     del warm
-    return default_warmup_stages(metric_kind=metric_kind, pooled=POOLED)
+    pooled_eps = bool(int(os.environ.get("BENCH_POOLED_EPS", "1" if POOLED else "0")))
+    return default_warmup_stages(
+        metric_kind=metric_kind, pooled=POOLED, pooled_stepsize=pooled_eps
+    )
 
 
 def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
@@ -49,12 +52,15 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     from dynamichmc_tpu.models import correlated_gaussian
     from dynamichmc_tpu.parallel import run_chains
 
+    driver = "wavefront" if int(os.environ.get("BENCH_WAVEFRONT", "0")) else "sync"
     ld = correlated_gaussian(dim, dtype=jnp.float32, fused=fused)
-    # warm-up compile (not timed): same shapes/programs, minimal step counts
-    run_chains(
-        jax.random.PRNGKey(9), ld, n_chains, 8,
-        warmup_stages=_stages(metric_kind, warm=True), dtype=jnp.float32,
-    ).positions.block_until_ready()
+    # warm-up compile run (not timed): same schedule => same cached programs
+    if int(os.environ.get("BENCH_WARM", "1")):
+        run_chains(
+            jax.random.PRNGKey(9), ld, n_chains, 8,
+            warmup_stages=_stages(metric_kind, warm=True), dtype=jnp.float32,
+            warmup_driver=driver,
+        ).positions.block_until_ready()
     log = (
         (lambda m: print(f"[bench] {m}", file=sys.stderr))
         if os.environ.get("BENCH_VERBOSE")
@@ -64,6 +70,7 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     res = run_chains(
         jax.random.PRNGKey(0), ld, n_chains, n_samples, dtype=jnp.float32,
         warmup_stages=_stages(metric_kind, warm=False), log=log,
+        warmup_driver=driver,
     )
     res.positions.block_until_ready()
     seconds = time.perf_counter() - t0

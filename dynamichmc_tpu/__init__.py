@@ -31,7 +31,12 @@ from .metric import (
 )
 from .hamiltonian import EvaluatedPoint, PhasePoint, evaluate, evaluate_strict
 from .nuts import NUTS, TreeStatistics, sample_tree
-from .stepsize import DualAveraging, FixedStepsize, InitialStepsizeSearch
+from .stepsize import (
+    DualAveraging,
+    FixedStepsize,
+    InitialStepsizeSearch,
+    PooledStepsize,
+)
 from .warmup import (
     TuningNUTS,
     WarmupState,
@@ -79,6 +84,7 @@ __all__ = [
     "sample_tree",
     "DualAveraging",
     "FixedStepsize",
+    "PooledStepsize",
     "InitialStepsizeSearch",
     "TuningNUTS",
     "WarmupState",

@@ -341,6 +341,12 @@ class FastPrograms(NamedTuple):
     adaptation: object
     pooled_welford: bool = False
     wf_leading: int = 0  # >0: shared Welford carried with a leading device axis
+    stage_nowf: Optional[Callable] = None  # Welford-free variant for eps-only blocks
+    # aligned wavefront warmup (tree_wavefront.py): desynchronized transition
+    # lifecycles, ~10x fewer leaf slots on straggler-bound warmups
+    stage_wavefront: Optional[Callable] = None
+    stage_wavefront_nowf: Optional[Callable] = None
+    wavefront_init: Optional[Callable] = None
 
 
 def build_programs(
@@ -465,19 +471,80 @@ def execute(
         key_fold(0), Q, metric, da0, wf0, jnp.int32(0), jnp.int32(0)
     )
     jax.block_until_ready(warm[3]["acc_sum"])
+    if programs.stage_nowf is not None:
+        warm = programs.stage_nowf(
+            key_fold(0), Q, metric, da0, wf0, jnp.int32(0), jnp.int32(0)
+        )
+        jax.block_until_ready(warm[3]["acc_sum"])
+    if programs.stage_wavefront is not None:
+        carry0 = programs.wavefront_init(Q, metric, da0, wf0)
+        for wf_fn in (programs.stage_wavefront, programs.stage_wavefront_nowf):
+            if wf_fn is None:
+                continue
+            _, warm_done = wf_fn(
+                key_fold(0), metric, carry0, jnp.int32(0), jnp.int32(0)
+            )
+            jax.block_until_ready(warm_done)
 
     chunk = 4
+    wf_budget = 2048  # wavefront iterations per dispatch (adapted below)
     summaries = []
     for i, n in enumerate(schedule.block_sizes):
         stage_key = key_fold(i + 1)
         da = strong(adaptation.init(eps))
         wf = make_wf()
-        totals = None
-        start = 0
+        # eps-only blocks discard their moments: skip the Welford update
+        # (for per-chain dense it is a (C, K, K) read+write per transition)
+        stage_fn = programs.stage
+        if not schedule.update_metric[i] and programs.stage_nowf is not None:
+            stage_fn = programs.stage_nowf
+        if programs.stage_wavefront is not None:
+            # desynchronized warmup: watchdog-safe dispatches of the aligned
+            # wavefront loop until every lane completes its n transitions
+            wf_fn = programs.stage_wavefront
+            if not schedule.update_metric[i] and programs.stage_wavefront_nowf is not None:
+                wf_fn = programs.stage_wavefront_nowf
+            carry = programs.wavefront_init(Q, metric, da, wf)
+            g_prev = 0
+            while True:
+                t0 = _time.perf_counter()
+                carry, done = wf_fn(
+                    stage_key, metric, carry, jnp.int32(n),
+                    jnp.int32(g_prev + wf_budget),
+                )
+                jax.block_until_ready(done)
+                wall = _time.perf_counter() - t0
+                g_now = int(carry["g"])
+                iters = max(g_now - g_prev, 1)
+                g_prev = g_now
+                per_iter = wall / iters
+                wf_budget = int(
+                    max(256, min(2_000_000, target_seconds / max(per_iter, 1e-7)))
+                )
+                if log is not None:
+                    log(
+                        f"warmup block {i + 1}/{len(schedule.block_sizes)} "
+                        f"(wavefront): {g_now} slots ({wall:.1f}s, "
+                        f"next budget {wf_budget})"
+                    )
+                if bool(done):
+                    break
+            Q, da, wf = carry["Q"], carry["da"], carry["wf"]
+            totals = {
+                "acc_sum": carry["acc_sum"],
+                "div": carry["div"],
+                "steps": carry["steps_total"],
+                "maxd": carry["maxd"],
+                "work": jnp.broadcast_to(carry["g"], carry["t"].shape),
+            }
+            start = n
+        else:
+            totals = None
+            start = 0
         while start < n:
             step_count = min(chunk, n - start)
             t0 = _time.perf_counter()
-            Q, da, wf, t = programs.stage(
+            Q, da, wf, t = stage_fn(
                 stage_key, Q, metric, da, wf, jnp.int32(start), jnp.int32(step_count)
             )
             jax.block_until_ready(t["acc_sum"])
@@ -661,14 +728,22 @@ def make_stage_driver_batched(
     adaptation,
     dense_welford: bool,
     pooled_welford: bool = False,
+    use_welford: bool = True,
 ):
     """Batch-native resumable tuning-stage program; same contract as
     make_stage_driver but the whole batch advances in one transition call.
     With ``pooled_welford`` the moment accumulator is shared across the
-    batch (O(K^2) memory, Chan parallel update)."""
+    batch (O(K^2) memory, Chan parallel update). ``use_welford=False`` builds
+    the variant for eps-only blocks: their moments are discarded, and the
+    per-chain dense accumulator is a (C, K, K) read+write per transition —
+    skipping it is a large HBM saving on metric-free blocks."""
     from .tree_batched import sample_tree_batched
 
-    wf_update = welford_update_pooled_b if pooled_welford else welford_update_b
+    if use_welford:
+        wf_update = welford_update_pooled_b if pooled_welford else welford_update_b
+    else:
+        def wf_update(wf, _x):
+            return wf
 
     def stage(key, Q: EvaluatedPoint, metric: Metric, da_state, welford, start_i, n_steps):
         c = Q.q.shape[0]
@@ -758,10 +833,13 @@ def build_programs_batched(
     sample_chunk: int = 8,
     mesh_axis=None,
     wf_leading: int = 0,
+    wavefront: bool = False,
 ):
     """Batch-native program bundle. ``wrap(fn, kind)`` applies shard_map/jit
     (no vmap needed). Pooled vs per-chain metrics are carried by array rank;
-    the metric update pools over the leading chain axis (+ mesh psum)."""
+    the metric update pools over the leading chain axis (+ mesh psum).
+    ``wavefront=True`` additionally builds the aligned wavefront warmup
+    programs (tree_wavefront.py) that execute() prefers for tuning blocks."""
     search = None
     if schedule.search is not None:
         search = wrap(make_search_driver_batched(ld, schedule.search), "search")
@@ -776,6 +854,50 @@ def build_programs_batched(
         ),
         "stage",
     )
+    stage_nowf = None
+    if not all(schedule.update_metric):
+        stage_nowf = wrap(
+            make_stage_driver_batched(
+                ld,
+                algorithm,
+                schedule.adaptation,
+                dense_welford=dense,
+                pooled_welford=schedule.pooled,
+                use_welford=False,
+            ),
+            "stage",
+        )
+    stage_wavefront = stage_wavefront_nowf = winit = None
+    if wavefront:
+        from .stepsize import PooledStepsize
+        from .tree_wavefront import make_wavefront_stage_driver, wavefront_init
+
+        if isinstance(schedule.adaptation, PooledStepsize):
+            raise NotImplementedError(
+                "the wavefront driver adapts per lane (completions are "
+                "desynchronized); use the sync driver with PooledStepsize"
+            )
+
+        stage_wavefront = wrap(
+            make_wavefront_stage_driver(
+                ld, algorithm, schedule.adaptation,
+                pooled_welford=schedule.pooled,
+            ),
+            "wavefront",
+        )
+        if not all(schedule.update_metric):
+            stage_wavefront_nowf = wrap(
+                make_wavefront_stage_driver(
+                    ld, algorithm, schedule.adaptation,
+                    pooled_welford=schedule.pooled, use_welford=False,
+                ),
+                "wavefront",
+            )
+
+        def winit_fn(Q, metric, da, wf):
+            return wavefront_init(Q, metric, da, wf, algorithm.max_depth)
+
+        winit = wrap(winit_fn, "wavefront_init")
     metric_updates = {}
     if schedule.metric_kind != "none":
         for lam in sorted(set(schedule.shrinkages)):
@@ -809,4 +931,8 @@ def build_programs_batched(
         adaptation=schedule.adaptation,
         pooled_welford=schedule.pooled,
         wf_leading=wf_leading,
+        stage_nowf=stage_nowf,
+        stage_wavefront=stage_wavefront,
+        stage_wavefront_nowf=stage_wavefront_nowf,
+        wavefront_init=winit,
     )

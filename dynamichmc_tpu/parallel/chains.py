@@ -99,6 +99,7 @@ def run_chains(
     log=None,
     draw_sink=None,
     reporter=None,
+    warmup_driver: str = "sync",
 ) -> MCMCResult:
     """Run ``n_chains`` independently-warmed NUTS chains, batched on device.
 
@@ -109,6 +110,12 @@ def run_chains(
     ``reporter=None`` means ``default_reporter()`` (interactive sessions get
     stage-boundary progress via the engine's ``log`` hook, else silent); an
     explicit ``log`` callable takes precedence.
+
+    ``warmup_driver``: 'sync' (lockstep batch-native transitions) or
+    'wavefront' (desynchronized aligned-wavefront warmup, tree_wavefront.py —
+    removes the straggler tax when tree depths vary across chains; sampling
+    always uses the synchronized driver). Wavefront currently requires
+    ``mesh=None``.
 
     Returns a batched :class:`MCMCResult` with ``positions`` of shape
     (n_chains, n_samples, K).
@@ -129,6 +136,12 @@ def run_chains(
     states = init_chain_states(init_key, ld, n_chains, dtype=dtype, **initialization)
     chain_keys = jax.random.split(run_key, n_chains)
 
+    if warmup_driver not in ("sync", "wavefront"):
+        raise ValueError("warmup_driver must be 'sync' or 'wavefront'")
+    if warmup_driver == "wavefront" and mesh is not None:
+        raise NotImplementedError(
+            "the wavefront warmup driver does not support a mesh yet"
+        )
     schedule = WarmupSchedule.from_stages(tuple(warmup_stages))
     if schedule is not None:
         return _run_chains_fast(
@@ -136,6 +149,7 @@ def run_chains(
             log=log, draw_sink=draw_sink,
             # custom turn statistics need the generic per-chain driver
             batched=algorithm.turn_statistic_configuration == "generalized",
+            wavefront=warmup_driver == "wavefront",
         )
 
     lean = dict(
@@ -279,6 +293,7 @@ def _run_chains_fast(
     log=None,
     draw_sink=None,
     batched: bool = True,
+    wavefront: bool = False,
 ) -> MCMCResult:
     if batched:
         # Dispatch-overhead amortization: each device dispatch pays a fixed
@@ -288,7 +303,8 @@ def _run_chains_fast(
         c, k = states.Q.q.shape
         sample_chunk = int(max(8, min(128, (1 << 26) // max(c * k, 1))))
         programs = _fast_programs_batched(
-            ld, algorithm, schedule, mesh, sample_chunk=sample_chunk
+            ld, algorithm, schedule, mesh, sample_chunk=sample_chunk,
+            wavefront=wavefront,
         )
     else:
         programs = _fast_programs(ld, algorithm, schedule, mesh)
@@ -350,6 +366,7 @@ def _fast_programs_batched(
     schedule: WarmupSchedule,
     mesh: Optional[Mesh],
     sample_chunk: int = 8,
+    wavefront: bool = False,
 ):
     """Batch-native program bundle (tree_batched.py): no vmap; shard_map
     wraps the batched functions directly. One scalar key drives each program;
@@ -421,4 +438,5 @@ def _fast_programs_batched(
         sample_chunk=sample_chunk,
         mesh_axis=None,
         wf_leading=mesh.devices.size if (pooled and mesh is not None) else 0,
+        wavefront=wavefront,
     )

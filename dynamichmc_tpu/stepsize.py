@@ -156,6 +156,50 @@ class DualAveraging:
 
 
 @dataclasses.dataclass(frozen=True)
+class PooledStepsize:
+    """Cross-chain stepsize adaptation (TPU-native addition; the reference
+    adapts each chain separately).
+
+    Wraps a per-chain adaptation with a SHARED state driven by the batch-mean
+    acceptance rate: one eps for the whole fleet, adapted from a nearly
+    noise-free signal. This removes the warmup straggler tax measured with
+    per-chain dual averaging — early acceptance noise drives individual
+    chains' eps down, and those chains then pay hundreds of leapfrog steps
+    per transition for whole blocks while the rest of the batch waits
+    (persistent slow lanes; measured 86-95% of warmup leaf slots on the
+    headline config). Warmup-only coupling: sampling runs fixed shared eps,
+    so each chain remains a valid NUTS chain (same approximation class as
+    pooled metric adaptation).
+    """
+
+    inner: object = None
+
+    def __post_init__(self):
+        if self.inner is None:
+            object.__setattr__(self, "inner", DualAveraging())
+
+    def _pool_eps(self, eps):
+        eps = jnp.asarray(eps)
+        if eps.ndim == 0:
+            return eps
+        return jnp.exp(jnp.mean(jnp.log(eps)))  # geometric mean
+
+    def init(self, eps):
+        return self.inner.init(self._pool_eps(eps))
+
+    def update(self, state, a):
+        a = jnp.asarray(a)
+        pooled = a if a.ndim == 0 else jnp.mean(a)
+        return self.inner.update(state, pooled)
+
+    def current(self, state):
+        return self.inner.current(state)
+
+    def final(self, state):
+        return self.inner.final(state)
+
+
+@dataclasses.dataclass(frozen=True)
 class FixedStepsize:
     """No-op adaptation with the same four-function interface
     (stepsize.jl:181-189)."""

@@ -129,46 +129,31 @@ def _where_edge(c, a: _Edge, b: _Edge) -> _Edge:
     )
 
 
-def sample_tree_batched(
-    key: jax.Array,
-    algorithm: NUTS,
-    ld: LogDensity,
-    metric: Metric,
-    Q: EvaluatedPoint,  # batched: q (C, K), logdensity (C,), grad (C, K)
-    eps,  # (C,) or scalar
-    directions: Optional[jnp.ndarray] = None,  # (C,) uint32
-):
-    """One NUTS transition for a whole chain batch. Returns (Q', stats)."""
-    if algorithm.turn_statistic_configuration != "generalized":
-        raise NotImplementedError(
-            "the batch-native driver supports only the generalized turn "
-            "statistic; use sample_tree(fast=False) for custom statistics"
-        )
-    C, K = Q.q.shape
-    dtype = Q.q.dtype
-    max_depth = algorithm.max_depth
-    S = max_depth  # merge-stack slots (levels 0..max_depth-1)
+class TauOps(NamedTuple):
+    """The generalized-turn-statistic algebra for a metric, shared by the
+    synchronized batch-native driver and the aligned wavefront driver.
 
-    k_p, k_dir, k_tree = jax.random.split(key, 3)
-    p0 = rand_p_b(k_p, metric, (C, K), dtype)
-    if directions is None:
-        directions = jax.random.bits(k_dir, (C,), jnp.uint32)
-    eps = jnp.broadcast_to(jnp.asarray(eps, dtype), (C,))
-    min_delta = jnp.asarray(algorithm.min_delta, dtype)
-    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    Dense metrics CARRY psharp (M^-1 p) for the two edge momenta: since
+    M^-1 is symmetric, dot(p_edge, M^-1 r) == dot(psharp_edge, r), so every
+    merge-time turn check becomes a plain dot — the per-leaf psharp (already
+    needed for the kinetic energy) is computed ONCE and reused, cutting
+    dense metric applications from ~5 to 2 per leaf (the per-chain dense
+    (C, K, K) read is the hot loop's dominant HBM traffic). Diagonal
+    metrics keep the compact 3-vector statistic (psharp is elementwise;
+    the two extra stack arrays would cost more than they save).
+    """
 
-    # Dense metrics CARRY psharp (M^-1 p) for the two edge momenta: since
-    # M^-1 is symmetric, dot(p_edge, M^-1 r) == dot(psharp_edge, r), so every
-    # merge-time turn check becomes a plain dot — the per-leaf psharp (already
-    # needed for the kinetic energy) is computed ONCE and reused, cutting
-    # dense metric applications from ~5 to 2 per leaf (the per-chain dense
-    # (C, K, K) read is the hot loop's dominant HBM traffic). Diagonal
-    # metrics keep the compact 3-vector statistic (psharp is elementwise;
-    # the two extra stack arrays would cost more than they save).
+    tau_len: int  # 3 (compact) or 5 (psharp-carrying)
+    pi_and_psharp: callable  # (ld_vals, p) -> (joint logdensity, psharp|None)
+    leaf_tau: callable  # (p, sp) -> tau tuple
+    combine_dir: callable  # (tau_first, tau_second, is_fwd) -> (tau, turning)
+
+
+def make_tau_ops(metric: Metric) -> TauOps:
     carry_psharp = not isinstance(metric, DiagonalMetric)
     tau_len = 5 if carry_psharp else 3
 
-    def _pi_and_psharp(ld_vals, p):
+    def pi_and_psharp(ld_vals, p):
         """Joint log density; for psharp-carrying metrics also M^-1 p."""
         if carry_psharp:
             sp = psharp_b(metric, p)
@@ -227,6 +212,49 @@ def sample_tree_batched(
             pm_x, pp_x, rho_x, pm_y, pp_y, rho_y, None, None
         )
         return (pm_x, pp_y, rho), turning
+
+    return TauOps(
+        tau_len=tau_len,
+        pi_and_psharp=pi_and_psharp,
+        leaf_tau=leaf_tau,
+        combine_dir=combine_dir,
+    )
+
+
+def sample_tree_batched(
+    key: jax.Array,
+    algorithm: NUTS,
+    ld: LogDensity,
+    metric: Metric,
+    Q: EvaluatedPoint,  # batched: q (C, K), logdensity (C,), grad (C, K)
+    eps,  # (C,) or scalar
+    directions: Optional[jnp.ndarray] = None,  # (C,) uint32
+):
+    """One NUTS transition for a whole chain batch. Returns (Q', stats)."""
+    if algorithm.turn_statistic_configuration != "generalized":
+        raise NotImplementedError(
+            "the batch-native driver supports only the generalized turn "
+            "statistic; use sample_tree(fast=False) for custom statistics"
+        )
+    C, K = Q.q.shape
+    dtype = Q.q.dtype
+    max_depth = algorithm.max_depth
+    S = max_depth  # merge-stack slots (levels 0..max_depth-1)
+
+    k_p, k_dir, k_tree = jax.random.split(key, 3)
+    p0 = rand_p_b(k_p, metric, (C, K), dtype)
+    if directions is None:
+        directions = jax.random.bits(k_dir, (C,), jnp.uint32)
+    eps = jnp.broadcast_to(jnp.asarray(eps, dtype), (C,))
+    min_delta = jnp.asarray(algorithm.min_delta, dtype)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+    ops = make_tau_ops(metric)
+    tau_len = ops.tau_len
+    carry_psharp = tau_len == 5
+    _pi_and_psharp = ops.pi_and_psharp
+    leaf_tau = ops.leaf_tau
+    combine_dir = ops.combine_dir
 
     pi0, sp0 = _pi_and_psharp(Q.logdensity, p0)
     z0 = _Edge(q=Q.q, p=p0, grad=Q.grad, ld=Q.logdensity)

@@ -106,9 +106,21 @@ def default_warmup_stages(
     doubling_stages: int = 5,
     terminating_steps: int = 50,
     pooled: bool = False,
+    pooled_stepsize: bool = False,
 ) -> Tuple[WarmupStage, ...]:
     """The Stan-like windowed schedule (mcmc.jl:415-425): stepsize search,
-    75 eps-only steps, 25/50/100/200/400 eps+metric blocks, 50 eps-only steps."""
+    75 eps-only steps, 25/50/100/200/400 eps+metric blocks, 50 eps-only steps.
+
+    ``pooled`` shares the adapted METRIC across chains (one collective per
+    block); ``pooled_stepsize`` additionally shares the dual-averaged
+    stepsize, driven by the batch-mean acceptance (see
+    :class:`~dynamichmc_tpu.stepsize.PooledStepsize`) — both are TPU-native
+    cross-chain additions; the reference adapts each chain separately.
+    """
+    if pooled_stepsize:
+        from .stepsize import PooledStepsize
+
+        stepsize_adaptation = PooledStepsize(stepsize_adaptation)
     middle = tuple(
         TuningNUTS(
             N=middle_steps * 2**i,
