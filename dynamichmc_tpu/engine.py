@@ -347,6 +347,8 @@ class FastPrograms(NamedTuple):
     stage_wavefront: Optional[Callable] = None
     stage_wavefront_nowf: Optional[Callable] = None
     wavefront_init: Optional[Callable] = None
+    # whole-warmup single program (block boundaries compiled in)
+    warmup_mono: Optional[Callable] = None
 
 
 def build_programs(
@@ -467,29 +469,92 @@ def execute(
     eps = strong(eps)
     da0 = strong(adaptation.init(eps))
     wf0 = make_wf()
-    warm = programs.stage(
-        key_fold(0), Q, metric, da0, wf0, jnp.int32(0), jnp.int32(0)
-    )
-    jax.block_until_ready(warm[3]["acc_sum"])
-    if programs.stage_nowf is not None:
-        warm = programs.stage_nowf(
-            key_fold(0), Q, metric, da0, wf0, jnp.int32(0), jnp.int32(0)
+    if programs.warmup_mono is not None:
+        metric = promote_metric(metric, schedule.metric_kind)
+        eps_run0 = strong(adaptation.current(da0))
+        warm = programs.warmup_mono(
+            key_fold(0), Q, metric, da0, wf0, eps_run0, jnp.int32(0), jnp.int32(0)
         )
-        jax.block_until_ready(warm[3]["acc_sum"])
-    if programs.stage_wavefront is not None:
+        jax.block_until_ready(warm[5]["acc_sum"])
+    elif programs.stage_wavefront is not None:
         carry0 = programs.wavefront_init(Q, metric, da0, wf0)
-        for wf_fn in (programs.stage_wavefront, programs.stage_wavefront_nowf):
-            if wf_fn is None:
+        for wfront_fn in (programs.stage_wavefront, programs.stage_wavefront_nowf):
+            if wfront_fn is None:
                 continue
-            _, warm_done = wf_fn(
+            _, warm_done = wfront_fn(
                 key_fold(0), metric, carry0, jnp.int32(0), jnp.int32(0)
             )
             jax.block_until_ready(warm_done)
+    else:
+        warm = programs.stage(
+            key_fold(0), Q, metric, da0, wf0, jnp.int32(0), jnp.int32(0)
+        )
+        jax.block_until_ready(warm[3]["acc_sum"])
+        if programs.stage_nowf is not None:
+            warm = programs.stage_nowf(
+                key_fold(0), Q, metric, da0, wf0, jnp.int32(0), jnp.int32(0)
+            )
+            jax.block_until_ready(warm[3]["acc_sum"])
 
     chunk = 4
     wf_budget = 2048  # wavefront iterations per dispatch (adapted below)
     summaries = []
-    for i, n in enumerate(schedule.block_sizes):
+
+    if programs.warmup_mono is not None:
+        # whole-warmup single program: block boundaries handled on device
+        total = sum(schedule.block_sizes)
+        warm_key = key_fold(1)
+        da = da0
+        wf = wf0
+        eps_run = strong(adaptation.current(da0))
+        totals = None
+        start = 0
+        while start < total:
+            step_count = min(chunk, total - start)
+            t0 = _time.perf_counter()
+            Q, metric, da, wf, eps_run, t = programs.warmup_mono(
+                warm_key, Q, metric, da, wf, eps_run,
+                jnp.int32(start), jnp.int32(step_count),
+            )
+            jax.block_until_ready(t["acc_sum"])
+            wall = _time.perf_counter() - t0
+            totals = (
+                t if totals is None
+                else {k: totals[k] + v for k, v in t.items()}
+            )
+            start += step_count
+            per_step = wall / max(step_count, 1)
+            chunk = int(max(1, min(total, target_seconds / max(per_step, 1e-4))))
+            if log is not None:
+                log(
+                    f"warmup: {start}/{total} steps ({wall:.1f}s, "
+                    f"next chunk {chunk})"
+                )
+        eps = eps_run
+        summaries.append(
+            StageSummary(
+                mean_acceptance=totals["acc_sum"] / max(total, 1),
+                divergences=totals["div"],
+                steps=totals["steps"],
+                max_depth_hits=totals["maxd"],
+            )
+        )
+        if log is not None and "work" in totals:
+            import numpy as _np
+
+            _steps = _np.asarray(totals["steps"], _np.float64)
+            _work = _np.asarray(totals["work"], _np.float64)
+            if _work.mean() > 0:
+                log(
+                    f"warmup straggler waste: "
+                    f"{1 - _steps.mean() / _work.mean():.1%} "
+                    f"({_work.mean() / max(total, 1):.1f} slots/step)"
+                )
+        block_sizes = ()
+    else:
+        block_sizes = schedule.block_sizes
+
+    for i, n in enumerate(block_sizes):
         stage_key = key_fold(i + 1)
         da = strong(adaptation.init(eps))
         wf = make_wf()
@@ -799,6 +864,176 @@ def make_stage_driver_batched(
     return stage
 
 
+def promote_metric(metric, kind: str):
+    """Promote an initial diagonal/identity metric to the dense
+    representation so the monolithic warmup carry is type-stable (the first
+    dense re-estimate must not change the pytree structure). Numerically a
+    no-op: M^-1 = diag(d) gives the same dynamics either way."""
+    from .metric import DiagonalMetric, dense_metric
+
+    if kind != "dense" or not isinstance(metric, DiagonalMetric):
+        return metric
+    m = metric.m_inv
+    if m.ndim == 1:
+        return dense_metric(jnp.diag(m))
+    return jax.vmap(lambda d: dense_metric(jnp.diag(d)))(m)
+
+
+def make_monolithic_warmup_driver(
+    ld: LogDensity, algorithm: NUTS, schedule: "WarmupSchedule"
+):
+    """ONE compiled program for the ENTIRE staged warmup (batch-native).
+
+    The per-block host loop costs a device dispatch per block plus one per
+    metric update — ~13 tunnel round-trips on the default schedule, measured
+    at several seconds through a tunneled chip. Here the block structure is
+    compiled in: a single while_loop over the GLOBAL transition index with
+    boundary bookkeeping (dual-averaging restart at every block boundary,
+    metric re-estimate + Welford reset at metric blocks, both under
+    ``lax.cond`` so the (C,K,K) work happens only at the ~6 boundaries).
+
+    (key, Q, metric, da, wf, eps_run, start_i, n_steps) ->
+        (Q', metric', da', wf', eps_run', totals)
+
+    ``eps_run`` carries the most recent block's final stepsize (the value
+    the NEXT block re-initializes from, and — after the last boundary — the
+    sampling stepsize). Step keys are fold_in(key, global_i): host chunking
+    at any granularity is bitwise reproducible. Requires a type-stable
+    metric carry: promote the initial metric with :func:`promote_metric`.
+
+    Replicates the reference's stage fold semantics (mcmc.jl:450-457,
+    TuningNUTS mcmc.jl:258-286) with runtime trip counts.
+    """
+    from .tree_batched import sample_tree_batched
+
+    adaptation = schedule.adaptation
+    sizes = schedule.block_sizes
+    cums = []
+    acc = 0
+    for s in sizes:
+        acc += s
+        cums.append(acc)
+    cums = tuple(cums)
+    update_metric = schedule.update_metric
+    shrinkages = schedule.shrinkages
+    kind = schedule.metric_kind
+    pooled = schedule.pooled
+    wf_upd = welford_update_pooled_b if pooled else welford_update_b
+
+    def in_metric_block(i):
+        flag = jnp.zeros((), bool)
+        lo = 0
+        for b, hi in enumerate(cums):
+            if update_metric[b]:
+                flag |= (i >= lo) & (i < hi)
+            lo = hi
+        return flag
+
+    def warmup(key, Q: EvaluatedPoint, metric, da, wf, eps_run, start_i, n_steps):
+        c0 = Q.q.shape[0]
+        dtype = Q.q.dtype
+
+        def cond(c):
+            return c["i"] < start_i + n_steps
+
+        def body(c):
+            i = c["i"]
+            step_key = jax.random.fold_in(key, i)
+            eps = adaptation.current(c["da"])
+            Q_new, stats = sample_tree_batched(
+                step_key, algorithm, ld, c["metric"], c["Q"], eps
+            )
+            da = adaptation.update(c["da"], stats.acceptance_rate)
+            wf = jax.lax.cond(
+                in_metric_block(i),
+                lambda w: wf_upd(w, Q_new.q),
+                lambda w: w,
+                c["wf"],
+            )
+
+            i_new = i + 1
+            hit = jnp.zeros((), bool)
+            met_hit = jnp.zeros((), bool)
+            lam = jnp.zeros((), dtype)
+            for b, cum in enumerate(cums):
+                h = i_new == cum
+                hit = hit | h
+                if update_metric[b]:
+                    met_hit = met_hit | h
+                    lam = jnp.where(h, jnp.asarray(shrinkages[b], dtype), lam)
+            eps_b = adaptation.final(da)
+            eps_run = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(hit, new, old), eps_b, c["eps_run"]
+            )
+            da = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(hit, new, old),
+                adaptation.init(eps_b),
+                da,
+            )
+
+            def do_metric(args):
+                wf_in, _metric_in = args
+                if kind == "none":
+                    new_metric = _metric_in
+                elif pooled:
+                    new_metric = estimate_metric(wf_in, kind, lam, None)
+                else:
+                    new_metric = jax.vmap(
+                        lambda w: estimate_metric(w, kind, lam, None)
+                    )(wf_in)
+                wf0 = jax.tree_util.tree_map(jnp.zeros_like, wf_in)
+                return wf0, new_metric
+
+            wf, metric = jax.lax.cond(
+                met_hit, do_metric, lambda args: args, (wf, c["metric"])
+            )
+
+            return {
+                "i": i_new,
+                "Q": Q_new,
+                "metric": metric,
+                "da": da,
+                "wf": wf,
+                "eps_run": eps_run,
+                "acc_sum": c["acc_sum"] + stats.acceptance_rate,
+                "div": c["div"] + stats.is_divergent.astype(jnp.int32),
+                "steps": c["steps"] + stats.steps,
+                "maxd": c["maxd"] + stats.reached_max_depth.astype(jnp.int32),
+                "work": c["work"] + stats.work,
+            }
+
+        out = jax.lax.while_loop(
+            cond,
+            body,
+            {
+                "i": jnp.asarray(start_i, jnp.int32),
+                "Q": Q,
+                "metric": metric,
+                "da": da,
+                "wf": wf,
+                "eps_run": eps_run,
+                "acc_sum": jnp.zeros((c0,), dtype),
+                "div": jnp.zeros((c0,), jnp.int32),
+                "steps": jnp.zeros((c0,), jnp.int32),
+                "maxd": jnp.zeros((c0,), jnp.int32),
+                "work": jnp.zeros((c0,), jnp.int32),
+            },
+        )
+        totals = {
+            "acc_sum": out["acc_sum"],
+            "div": out["div"],
+            "steps": out["steps"],
+            "maxd": out["maxd"],
+            "work": out["work"],
+        }
+        return (
+            out["Q"], out["metric"], out["da"], out["wf"], out["eps_run"],
+            totals,
+        )
+
+    return warmup
+
+
 def make_sampling_driver_batched(ld: LogDensity, algorithm: NUTS, chunk: int):
     """Batch-native fixed-size sampling chunk; same contract as
     make_sampling_driver but positions stack as (chunk, C, K) and are
@@ -834,12 +1069,14 @@ def build_programs_batched(
     mesh_axis=None,
     wf_leading: int = 0,
     wavefront: bool = False,
+    monolithic: bool = False,
 ):
     """Batch-native program bundle. ``wrap(fn, kind)`` applies shard_map/jit
     (no vmap needed). Pooled vs per-chain metrics are carried by array rank;
     the metric update pools over the leading chain axis (+ mesh psum).
     ``wavefront=True`` additionally builds the aligned wavefront warmup
-    programs (tree_wavefront.py) that execute() prefers for tuning blocks."""
+    programs (tree_wavefront.py); ``monolithic=True`` builds the
+    whole-warmup single program that execute() prefers (mesh-less only)."""
     search = None
     if schedule.search is not None:
         search = wrap(make_search_driver_batched(ld, schedule.search), "search")
@@ -898,6 +1135,12 @@ def build_programs_batched(
             return wavefront_init(Q, metric, da, wf, algorithm.max_depth)
 
         winit = wrap(winit_fn, "wavefront_init")
+    warmup_mono = None
+    if monolithic and not wavefront:
+        warmup_mono = wrap(
+            make_monolithic_warmup_driver(ld, algorithm, schedule),
+            "warmup_mono",
+        )
     metric_updates = {}
     if schedule.metric_kind != "none":
         for lam in sorted(set(schedule.shrinkages)):
@@ -935,4 +1178,5 @@ def build_programs_batched(
         stage_wavefront=stage_wavefront,
         stage_wavefront_nowf=stage_wavefront_nowf,
         wavefront_init=winit,
+        warmup_mono=warmup_mono,
     )

@@ -305,6 +305,9 @@ def _run_chains_fast(
         programs = _fast_programs_batched(
             ld, algorithm, schedule, mesh, sample_chunk=sample_chunk,
             wavefront=wavefront,
+            # whole-warmup single program: mesh-less only (the per-block
+            # path keeps the shard_map-wrapped stage/metric programs)
+            monolithic=mesh is None,
         )
     else:
         programs = _fast_programs(ld, algorithm, schedule, mesh)
@@ -367,6 +370,7 @@ def _fast_programs_batched(
     mesh: Optional[Mesh],
     sample_chunk: int = 8,
     wavefront: bool = False,
+    monolithic: bool = False,
 ):
     """Batch-native program bundle (tree_batched.py): no vmap; shard_map
     wraps the batched functions directly. One scalar key drives each program;
@@ -439,4 +443,5 @@ def _fast_programs_batched(
         mesh_axis=None,
         wf_leading=mesh.devices.size if (pooled and mesh is not None) else 0,
         wavefront=wavefront,
+        monolithic=monolithic,
     )

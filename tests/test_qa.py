@@ -21,12 +21,19 @@ def test_stage_program_compiles_once_for_all_block_sizes():
     ld = std_normal(3)
     schedule = WarmupSchedule.from_stages(default_warmup_stages())
     run_chains(jax.random.PRNGKey(0), ld, 4, 40, dtype=jnp.float64)
-    programs = _fast_programs_batched(ld, NUTS(), schedule, None)
-    stage_traces = programs.stage._cache_size()
+    # mirror run_chains' program-bundle key EXACTLY (lru_cache keys omitted
+    # defaults differently from explicitly-passed ones): adaptive
+    # sample_chunk caps at 128 for tiny batches; monolithic warmup is the
+    # mesh-less default; wavefront is passed explicitly by run_chains
+    programs = _fast_programs_batched(
+        ld, NUTS(), schedule, None, sample_chunk=128, wavefront=False,
+        monolithic=True,
+    )
+    mono_traces = programs.warmup_mono._cache_size()
     sample_traces = programs.sample._cache_size()
-    assert stage_traces == 1, stage_traces  # 7 blocks, one compilation
+    assert mono_traces == 1, mono_traces  # 7 blocks, ONE warmup compilation
     run_chains(jax.random.PRNGKey(1), ld, 4, 72, dtype=jnp.float64)
-    assert programs.stage._cache_size() == 1
+    assert programs.warmup_mono._cache_size() == 1
     assert programs.sample._cache_size() == sample_traces  # chunk reuse
 
 
