@@ -802,7 +802,7 @@ def make_stage_driver_batched(
     the variant for eps-only blocks: their moments are discarded, and the
     per-chain dense accumulator is a (C, K, K) read+write per transition —
     skipping it is a large HBM saving on metric-free blocks."""
-    from .tree_batched import sample_tree_batched
+    from .tree_batched import make_tree_scratch, sample_tree_batched
 
     if use_welford:
         wf_update = welford_update_pooled_b if pooled_welford else welford_update_b
@@ -813,6 +813,7 @@ def make_stage_driver_batched(
     def stage(key, Q: EvaluatedPoint, metric: Metric, da_state, welford, start_i, n_steps):
         c = Q.q.shape[0]
         dtype = Q.q.dtype
+        c_dim, k_dim = Q.q.shape
 
         def cond(carry):
             return carry["i"] < start_i + n_steps
@@ -820,14 +821,16 @@ def make_stage_driver_batched(
         def body(carry):
             step_key = jax.random.fold_in(key, carry["i"])
             eps = adaptation.current(carry["da"])
-            Q_new, stats = sample_tree_batched(
-                step_key, algorithm, ld, metric, carry["Q"], eps
+            Q_new, stats, scratch = sample_tree_batched(
+                step_key, algorithm, ld, metric, carry["Q"], eps,
+                scratch=carry["scratch"],
             )
             da = adaptation.update(carry["da"], stats.acceptance_rate)
             wf = wf_update(carry["wf"], Q_new.q)
             return {
                 "i": carry["i"] + 1,
                 "Q": Q_new,
+                "scratch": scratch,
                 "da": da,
                 "wf": wf,
                 "acc_sum": carry["acc_sum"] + stats.acceptance_rate,
@@ -843,6 +846,9 @@ def make_stage_driver_batched(
             {
                 "i": jnp.asarray(start_i, jnp.int32),
                 "Q": Q,
+                "scratch": make_tree_scratch(
+                    algorithm, metric, c_dim, k_dim, dtype
+                ),
                 "da": da_state,
                 "wf": welford,
                 "acc_sum": jnp.zeros((c,), dtype),
@@ -904,7 +910,7 @@ def make_monolithic_warmup_driver(
     Replicates the reference's stage fold semantics (mcmc.jl:450-457,
     TuningNUTS mcmc.jl:258-286) with runtime trip counts.
     """
-    from .tree_batched import sample_tree_batched
+    from .tree_batched import make_tree_scratch, sample_tree_batched
 
     adaptation = schedule.adaptation
     sizes = schedule.block_sizes
@@ -932,6 +938,7 @@ def make_monolithic_warmup_driver(
     def warmup(key, Q: EvaluatedPoint, metric, da, wf, eps_run, start_i, n_steps):
         c0 = Q.q.shape[0]
         dtype = Q.q.dtype
+        k0 = Q.q.shape[1]
 
         def cond(c):
             return c["i"] < start_i + n_steps
@@ -940,8 +947,9 @@ def make_monolithic_warmup_driver(
             i = c["i"]
             step_key = jax.random.fold_in(key, i)
             eps = adaptation.current(c["da"])
-            Q_new, stats = sample_tree_batched(
-                step_key, algorithm, ld, c["metric"], c["Q"], eps
+            Q_new, stats, scratch = sample_tree_batched(
+                step_key, algorithm, ld, c["metric"], c["Q"], eps,
+                scratch=c["scratch"],
             )
             da = adaptation.update(c["da"], stats.acceptance_rate)
             wf = jax.lax.cond(
@@ -991,6 +999,7 @@ def make_monolithic_warmup_driver(
             return {
                 "i": i_new,
                 "Q": Q_new,
+                "scratch": scratch,
                 "metric": metric,
                 "da": da,
                 "wf": wf,
@@ -1008,6 +1017,7 @@ def make_monolithic_warmup_driver(
             {
                 "i": jnp.asarray(start_i, jnp.int32),
                 "Q": Q,
+                "scratch": make_tree_scratch(algorithm, metric, c0, k0, dtype),
                 "metric": metric,
                 "da": da,
                 "wf": wf,
@@ -1038,18 +1048,22 @@ def make_sampling_driver_batched(ld: LogDensity, algorithm: NUTS, chunk: int):
     """Batch-native fixed-size sampling chunk; same contract as
     make_sampling_driver but positions stack as (chunk, C, K) and are
     transposed to (C, chunk, K) on return."""
-    from .tree_batched import sample_tree_batched
+    from .tree_batched import make_tree_scratch, sample_tree_batched
 
     def sample(key, Q: EvaluatedPoint, metric: Metric, eps, start_i):
-        def step(Q, j):
+        def step(carry, j):
+            Q, scratch = carry
             step_key = jax.random.fold_in(key, start_i + j)
-            Q_new, stats = sample_tree_batched(
-                step_key, algorithm, ld, metric, Q, eps
+            Q_new, stats, scratch = sample_tree_batched(
+                step_key, algorithm, ld, metric, Q, eps, scratch=scratch
             )
-            return Q_new, (Q_new.q, Q_new.logdensity, stats)
+            return (Q_new, scratch), (Q_new.q, Q_new.logdensity, stats)
 
-        Q_final, (qs, lds, stats) = jax.lax.scan(
-            step, Q, jnp.arange(chunk, dtype=jnp.int32)
+        scratch0 = make_tree_scratch(
+            algorithm, metric, Q.q.shape[0], Q.q.shape[1], Q.q.dtype
+        )
+        (Q_final, _), (qs, lds, stats) = jax.lax.scan(
+            step, (Q, scratch0), jnp.arange(chunk, dtype=jnp.int32)
         )
         # scan stacks on axis 0 -> (chunk, C, ...); present as (C, chunk, ...)
         qs = jnp.swapaxes(qs, 0, 1)

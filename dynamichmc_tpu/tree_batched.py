@@ -49,6 +49,12 @@ from .logdensity import LogDensity
 from .metric import DiagonalMetric, Metric
 from .nuts import NUTS, TreeStatistics
 
+# Profiling-only ablation switches (scripts/profile_leaf.py): members of
+# {"merge", "best", "stats"} disable pieces of the leaf body AT TRACE TIME to
+# attribute per-leaf cost. Never set in production paths; results are
+# statistically wrong with any ablation active.
+_ablate: frozenset = frozenset()
+
 
 # --- batched metric helpers (shared or per-chain) -------------------------------
 
@@ -221,6 +227,18 @@ def make_tau_ops(metric: Metric) -> TauOps:
     )
 
 
+def make_tree_scratch(algorithm: NUTS, metric: Metric, C: int, K: int, dtype):
+    """Allocate the merge-stack scratch for :func:`sample_tree_batched`.
+
+    Drivers that run many transitions should allocate this ONCE, thread it
+    through their loop carry, and pass it via ``scratch=`` — materializing
+    the (S, C, K) zero stacks inside every transition measured ~160 us at
+    4096x100 (5 x 16 MB HBM broadcasts), ~10% of a shallow transition."""
+    tau_len = make_tau_ops(metric).tau_len
+    S = algorithm.max_depth
+    return tuple(jnp.zeros((S, C, K), dtype) for _ in range(tau_len))
+
+
 def sample_tree_batched(
     key: jax.Array,
     algorithm: NUTS,
@@ -229,8 +247,17 @@ def sample_tree_batched(
     Q: EvaluatedPoint,  # batched: q (C, K), logdensity (C,), grad (C, K)
     eps,  # (C,) or scalar
     directions: Optional[jnp.ndarray] = None,  # (C,) uint32
+    scratch=None,  # make_tree_scratch buffer, threaded through driver carries
 ):
-    """One NUTS transition for a whole chain batch. Returns (Q', stats)."""
+    """One NUTS transition for a whole chain batch. Returns (Q', stats), or
+    (Q', stats, scratch') when ``scratch`` is given (thread scratch' back
+    into the next call — contents are meaningless between transitions; the
+    return exists so enclosing while/scan carries can alias the buffer).
+
+    Scratch safety: every stack slot is written before it is read within a
+    doubling (slot ``l`` is stored by the merge at leaf ``2^l - 1``-pattern
+    counters before the first pop touches it, and leaf 0 always stores slot
+    0), so stale contents from earlier transitions are never observed."""
     if algorithm.turn_statistic_configuration != "generalized":
         raise NotImplementedError(
             "the batch-native driver supports only the generalized turn "
@@ -259,20 +286,30 @@ def sample_tree_batched(
     pi0, sp0 = _pi_and_psharp(Q.logdensity, p0)
     z0 = _Edge(q=Q.q, p=p0, grad=Q.grad, ld=Q.logdensity)
 
-    def adjacent(carry_key, d, z_edge: _Edge, i_edge, is_fwd, engaged):
-        """Build the depth-d adjacent trees for all engaged lanes."""
-        stack = tuple(
-            jnp.zeros((S, C, K), dtype) for _ in range(tau_len)
-        )  # p_minus, p_plus, rho [, psharp_minus, psharp_plus], level-major
+    def adjacent(carry_key, d, z_edge: _Edge, i_edge, is_fwd, engaged, stack):
+        """Build the depth-d adjacent trees for all engaged lanes.
+
+        ``stack`` is the level-major (S, C, K) merge stack — p_minus, p_plus,
+        rho [, psharp_minus, psharp_plus] — allocated ONCE per transition and
+        reused across doublings: every slot is written (by a merge or the
+        level-0 store) before it is read, so stale data from earlier
+        doublings is never observed, and skipping the re-zeroing saves
+        tau_len*S*C*K of HBM writes per doubling (~82 MB at the headline
+        config — measured as the dominant per-transition cost)."""
         step = jnp.where(is_fwd, jnp.int32(1), jnp.int32(-1))
         n_leaves = jnp.int32(1) << d
+        eps_signed = jnp.where(is_fwd, eps, -eps)
 
         def cond(c):
             return (c["n"] < n_leaves) & jnp.any(c["building"] & engaged)
 
-        def body(c):
+        def process_leaf(c, merge_mode):
+            """One leaf at counter c["n"]. merge_mode can exploit counter
+            parity ("none": even leaves never merge, static level-0 store;
+            "odd": guaranteed first merge inlined from static slot 0;
+            "generic": dynamic trailing-ones while_loop). Only "generic" is
+            used — see the loop-structure note below."""
             kleaf = jax.random.fold_in(carry_key, c["n"])
-            eps_signed = jnp.where(is_fwd, eps, -eps)
             if ld.fused_leaf_batched_fn is not None:
                 qn, pn, gn, ldn, pi = ld.fused_leaf_batched_fn(
                     metric, c["z"].q, c["z"].p, c["z"].grad, eps_signed
@@ -288,23 +325,31 @@ def sample_tree_batched(
             live = c["building"] & engaged
 
             # visited statistics (all visited leaves count, NUTS.jl:59-80)
-            v_log = jnp.where(live, jnp.minimum(delta, 0.0), neg_inf)
-            log_sum = jnp.logaddexp(c["log_sum"], v_log)
-            steps = c["steps"] + (live).astype(jnp.int32)
+            if "stats" not in _ablate:
+                v_log = jnp.where(live, jnp.minimum(delta, 0.0), neg_inf)
+                log_sum = jnp.logaddexp(c["log_sum"], v_log)
+                steps = c["steps"] + (live).astype(jnp.int32)
+            else:
+                log_sum, steps = c["log_sum"], c["steps"] + 1
 
             # running multinomial proposal draw
-            g = jax.random.gumbel(kleaf, (C,), dtype)
-            score = jnp.where(divergent | ~live, neg_inf, delta + g)
-            take = score > c["best_score"]
-            best_score = jnp.where(take, score, c["best_score"])
-            tk = take[:, None]
-            best_q = jnp.where(tk, z.q, c["best_q"])
-            best_ld = jnp.where(take, z.ld, c["best_ld"])
-            best_grad = jnp.where(tk, z.grad, c["best_grad"])
-            best_pi = jnp.where(take, pi, c["best_pi"])
-            omega = jnp.logaddexp(
-                c["omega"], jnp.where(divergent | ~live, neg_inf, delta)
-            )
+            if "best" not in _ablate:
+                g = jax.random.gumbel(kleaf, (C,), dtype)
+                score = jnp.where(divergent | ~live, neg_inf, delta + g)
+                take = score > c["best_score"]
+                best_score = jnp.where(take, score, c["best_score"])
+                tk = take[:, None]
+                best_q = jnp.where(tk, z.q, c["best_q"])
+                best_ld = jnp.where(take, z.ld, c["best_ld"])
+                best_grad = jnp.where(tk, z.grad, c["best_grad"])
+                best_pi = jnp.where(take, pi, c["best_pi"])
+                omega = jnp.logaddexp(
+                    c["omega"], jnp.where(divergent | ~live, neg_inf, delta)
+                )
+            else:
+                best_score, best_q = c["best_score"], c["best_q"]
+                best_ld, best_grad = c["best_ld"], c["best_grad"]
+                best_pi, omega = c["best_pi"], c["omega"]
 
             # merge pending subtrees: scalar trailing-one levels of n
             node = leaf_tau(z.p, sp)
@@ -334,14 +379,32 @@ def sample_tree_batched(
                 )
                 return (node, level + jnp.int32(1), turned | turning, tl)
 
-            node, level, turned, turn_left = jax.lax.while_loop(
-                mcond, mbody, (node, jnp.int32(0), turned, turn_left)
-            )
-            # store the merged subtree at its (scalar) slot: true in-place DUS
-            stack = tuple(
-                jax.lax.dynamic_update_index_in_dim(s, v, level, 0)
-                for s, v in zip(c["stack"], node)
-            )
+            if "merge" in _ablate or merge_mode == "none":
+                level = jnp.int32(0)
+                stack = tuple(
+                    jax.lax.dynamic_update_index_in_dim(s, v, 0, 0)
+                    for s, v in zip(c["stack"], node)
+                )
+            else:
+                if merge_mode == "odd":
+                    # guaranteed first merge: pop slot 0 with a STATIC index
+                    popped = tuple(s[0] for s in c["stack"])
+                    node, turning = combine_dir(popped, node, is_fwd)
+                    turn_left = jnp.where(
+                        turning, i_edge + step * c["n"], turn_left
+                    )
+                    turned = turning
+                    start_level = jnp.int32(1)
+                else:
+                    start_level = jnp.int32(0)
+                node, level, turned, turn_left = jax.lax.while_loop(
+                    mcond, mbody, (node, start_level, turned, turn_left)
+                )
+                # store the merged subtree at its (scalar) slot: in-place DUS
+                stack = tuple(
+                    jax.lax.dynamic_update_index_in_dim(s, v, level, 0)
+                    for s, v in zip(c["stack"], node)
+                )
 
             invalid = live & (divergent | turned)
             left = jnp.where(divergent, i_new, turn_left)
@@ -378,7 +441,14 @@ def sample_tree_batched(
             "inv_left": jnp.zeros((C,), jnp.int32),
             "inv_right": jnp.zeros((C,), jnp.int32),
         }
-        out = jax.lax.while_loop(cond, body, init)
+        # One single-leaf loop. A peeled-leaf-0 + (odd, even)-pair unrolling
+        # was built and measured: it DOUBLED per-doubling cost (87 -> 197 us)
+        # because each extra while_loop instance pays a large entry cost for
+        # the big carry on this runtime — fewer loop INSTANCES beat fewer
+        # iterations.
+        out = jax.lax.while_loop(
+            cond, lambda c: process_leaf(c, "generic"), init
+        )
         # the completed tree's turn statistic sits at slot == d
         tau_tree = tuple(
             jax.lax.dynamic_index_in_dim(s, jnp.minimum(d, S - 1), 0, keepdims=False)
@@ -401,7 +471,7 @@ def sample_tree_batched(
         z_edge = _where_edge(is_fwd, c["z_plus"], c["z_minus"])
         i_edge = jnp.where(is_fwd, c["i_plus"], c["i_minus"])
 
-        adj = adjacent(kadj, c["d"], z_edge, i_edge, is_fwd, engaged)
+        adj = adjacent(kadj, c["d"], z_edge, i_edge, is_fwd, engaged, c["stack"])
         tree_done = adj["building"]  # lanes whose adjacent tree completed
         valid = engaged & tree_done
         invalid = engaged & ~tree_done
@@ -457,6 +527,7 @@ def sample_tree_batched(
         return {
             "d": c["d"] + jnp.int32(1),
             "dirs": c["dirs"],
+            "stack": adj["stack"],
             "z_minus": z_minus,
             "z_plus": z_plus,
             "i_minus": i_minus,
@@ -479,6 +550,11 @@ def sample_tree_batched(
     init = {
         "d": jnp.int32(0),
         "dirs": directions,
+        "stack": (
+            tuple(jnp.zeros((S, C, K), dtype) for _ in range(tau_len))
+            if scratch is None
+            else tuple(scratch)
+        ),
         "z_minus": z0,
         "z_plus": z0,
         "i_minus": jnp.zeros((C,), jnp.int32),
@@ -517,4 +593,6 @@ def sample_tree_batched(
     Q_new = EvaluatedPoint(
         q=out["prop_q"], logdensity=out["prop_ld"], grad=out["prop_grad"]
     )
+    if scratch is not None:
+        return Q_new, stats, out["stack"]
     return Q_new, stats
