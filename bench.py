@@ -53,13 +53,14 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     from dynamichmc_tpu.parallel import run_chains
 
     driver = "wavefront" if int(os.environ.get("BENCH_WAVEFRONT", "0")) else "sync"
+    stratify = int(os.environ.get("BENCH_STRATIFY", "0"))
     ld = correlated_gaussian(dim, dtype=jnp.float32, fused=fused)
     # warm-up compile run (not timed): same schedule => same cached programs
     if int(os.environ.get("BENCH_WARM", "1")):
         run_chains(
             jax.random.PRNGKey(9), ld, n_chains, 8,
             warmup_stages=_stages(metric_kind, warm=True), dtype=jnp.float32,
-            warmup_driver=driver,
+            warmup_driver=driver, stratify_sampling=stratify,
         ).positions.block_until_ready()
     log = (
         (lambda m: print(f"[bench] {m}", file=sys.stderr))
@@ -70,7 +71,7 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     res = run_chains(
         jax.random.PRNGKey(0), ld, n_chains, n_samples, dtype=jnp.float32,
         warmup_stages=_stages(metric_kind, warm=False), log=log,
-        warmup_driver=driver,
+        warmup_driver=driver, stratify_sampling=stratify,
     )
     res.positions.block_until_ready()
     seconds = time.perf_counter() - t0

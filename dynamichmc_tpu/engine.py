@@ -349,6 +349,8 @@ class FastPrograms(NamedTuple):
     wavefront_init: Optional[Callable] = None
     # whole-warmup single program (block boundaries compiled in)
     warmup_mono: Optional[Callable] = None
+    # width-C/G sampling program with a G-scaled chunk (depth stratification)
+    sample_stratified: Optional[Callable] = None
 
 
 def build_programs(
@@ -418,6 +420,7 @@ def execute(
     max_chunk: int = 200,
     log=None,
     draw_sink=None,
+    stratify_sampling: int = 0,
 ):
     """Run the schedule eagerly, chunking long stages into watchdog-safe
     dispatches with adaptive chunk sizing (the TPU runtime kills single
@@ -655,30 +658,110 @@ def execute(
     # draws stream to the host chunk-by-chunk (device memory stays O(chunk));
     # only the (small) per-draw tree statistics are kept on device.
     sample_key = key_fold(len(schedule.block_sizes) + 1)
-    n_chunks = -(-n_samples // programs.sample_chunk)
-    pieces = []
-    t_sample = _time.perf_counter()
-    for c in range(n_chunks):
-        Q, qs, lds, stats = programs.sample(
-            sample_key, Q, metric, eps, jnp.int32(c * programs.sample_chunk)
-        )
-        if draw_sink is not None:
-            draw_sink(c * programs.sample_chunk, qs, lds, stats)
-            pieces.append((None, None, stats))
-        else:
-            pieces.append((qs, lds, stats))
-        if log is not None:
-            jax.block_until_ready(lds)
-            log(
-                f"sampling: {min((c + 1) * programs.sample_chunk, n_samples)}"
-                f"/{n_samples} ({_time.perf_counter() - t_sample:.1f}s)"
-            )
     n_batch_dims = Q.q.ndim - 1
     axis = n_batch_dims
 
     def concat(xs):
         out = jnp.concatenate(xs, axis=axis) if len(xs) > 1 else xs[0]
         return jax.lax.slice_in_dim(out, 0, n_samples, axis=axis)
+
+    G = int(stratify_sampling) if stratify_sampling else 0
+    C_total = Q.q.shape[0] if n_batch_dims == 1 else 0
+    stratify = (
+        G > 1
+        and n_batch_dims == 1
+        and getattr(eps, "ndim", 0) == 1
+        and C_total % G == 0
+        and programs.sample_stratified is not None
+    )
+    if stratify:
+        # Depth-stratified execution: with PER-CHAIN stepsizes the lockstep
+        # batch pays every transition's max-over-lanes tree depth, and small-
+        # eps lanes are persistent stragglers (measured 58-90% of sampling
+        # leaf slots spent on terminated lanes). Sorting lanes by adapted eps
+        # and sampling G contiguous groups bounds each group's loop by its
+        # OWN deepest lane. Pure scheduling — each lane's chain law is
+        # unchanged (draw streams differ through the documented batch-shape
+        # RNG dependence). One extra program compile (width C/G, chunk
+        # scaled by G keeps the dispatch count unchanged).
+        perm = jnp.argsort(eps)
+        inv_perm = jnp.argsort(perm)
+        take = lambda t: jax.tree_util.tree_map(lambda x: x[perm], t)
+        Q_s = take(Q)
+        eps_s = eps[perm]
+        metric_s = (
+            take(metric)
+            if jax.tree_util.tree_leaves(metric)[0].shape[:1] == (C_total,)
+            else metric
+        )
+        Cg = C_total // G
+        chunk = programs.sample_chunk * G  # baked into sample_stratified
+        n_chunks = -(-n_samples // chunk)
+        pieces = []
+        Q_parts = [None] * G
+        t_sample = _time.perf_counter()
+        for c in range(n_chunks):
+            group_out = []
+            for g in range(G):
+                sl = slice(g * Cg, (g + 1) * Cg)
+                key_g = jax.random.fold_in(sample_key, g + 1)
+                Qg = Q_parts[g] if Q_parts[g] is not None else jax.tree_util.tree_map(
+                    lambda x: x[sl], Q_s
+                )
+                mg = (
+                    jax.tree_util.tree_map(lambda x: x[sl], metric_s)
+                    if metric_s is not metric
+                    else metric
+                )
+                Qg, qs, lds, stats = programs.sample_stratified(
+                    key_g, Qg, mg, eps_s[sl], jnp.int32(c * chunk)
+                )
+                Q_parts[g] = Qg
+                group_out.append((qs, lds, stats))
+            qs = jnp.concatenate([o[0] for o in group_out], axis=0)
+            lds = jnp.concatenate([o[1] for o in group_out], axis=0)
+            stats = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(list(xs), axis=0),
+                *[o[2] for o in group_out],
+            )
+            # restore the caller's lane order before anything leaves
+            qs, lds, stats = jax.tree_util.tree_map(
+                lambda x: x[inv_perm], (qs, lds, stats)
+            )
+            if draw_sink is not None:
+                draw_sink(c * chunk, qs, lds, stats)
+                pieces.append((None, None, stats))
+            else:
+                pieces.append((qs, lds, stats))
+            if log is not None:
+                jax.block_until_ready(lds)
+                log(
+                    f"sampling[stratified x{G}]: "
+                    f"{min((c + 1) * chunk, n_samples)}"
+                    f"/{n_samples} ({_time.perf_counter() - t_sample:.1f}s)"
+                )
+        Q = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(list(xs), axis=0)[inv_perm], *Q_parts
+        )
+    else:
+        n_chunks = -(-n_samples // programs.sample_chunk)
+        pieces = []
+        t_sample = _time.perf_counter()
+        for c in range(n_chunks):
+            Q, qs, lds, stats = programs.sample(
+                sample_key, Q, metric, eps, jnp.int32(c * programs.sample_chunk)
+            )
+            if draw_sink is not None:
+                draw_sink(c * programs.sample_chunk, qs, lds, stats)
+                pieces.append((None, None, stats))
+            else:
+                pieces.append((qs, lds, stats))
+            if log is not None:
+                jax.block_until_ready(lds)
+                log(
+                    f"sampling: {min((c + 1) * programs.sample_chunk, n_samples)}"
+                    f"/{n_samples} ({_time.perf_counter() - t_sample:.1f}s)"
+                )
 
     if draw_sink is None:
         positions = concat([p[0] for p in pieces])
@@ -1084,6 +1167,7 @@ def build_programs_batched(
     wf_leading: int = 0,
     wavefront: bool = False,
     monolithic: bool = False,
+    stratify: int = 0,
 ):
     """Batch-native program bundle. ``wrap(fn, kind)`` applies shard_map/jit
     (no vmap needed). Pooled vs per-chain metrics are carried by array rank;
@@ -1193,4 +1277,14 @@ def build_programs_batched(
         stage_wavefront_nowf=stage_wavefront_nowf,
         wavefront_init=winit,
         warmup_mono=warmup_mono,
+        sample_stratified=(
+            wrap(
+                make_sampling_driver_batched(
+                    ld, algorithm, sample_chunk * stratify
+                ),
+                "sample_stratified",
+            )
+            if stratify and stratify > 1
+            else None
+        ),
     )

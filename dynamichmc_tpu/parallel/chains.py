@@ -100,6 +100,7 @@ def run_chains(
     draw_sink=None,
     reporter=None,
     warmup_driver: str = "sync",
+    stratify_sampling: int = 0,
 ) -> MCMCResult:
     """Run ``n_chains`` independently-warmed NUTS chains, batched on device.
 
@@ -116,6 +117,13 @@ def run_chains(
     removes the straggler tax when tree depths vary across chains; sampling
     always uses the synchronized driver). Wavefront currently requires
     ``mesh=None``.
+
+    ``stratify_sampling=G`` (G > 1, per-chain stepsizes, mesh-less): sort
+    lanes by adapted eps after warmup and sample G contiguous groups with a
+    width-C/G program — each group's lockstep tree loop is bounded by its
+    OWN deepest lane instead of the global min-eps straggler (measured
+    58-90% of sampling leaf slots wasted on per-chain configs). Scheduling
+    only; lane order of the returned draws is unchanged.
 
     Returns a batched :class:`MCMCResult` with ``positions`` of shape
     (n_chains, n_samples, K).
@@ -150,6 +158,7 @@ def run_chains(
             # custom turn statistics need the generic per-chain driver
             batched=algorithm.turn_statistic_configuration == "generalized",
             wavefront=warmup_driver == "wavefront",
+            stratify_sampling=stratify_sampling,
         )
 
     lean = dict(
@@ -294,7 +303,12 @@ def _run_chains_fast(
     draw_sink=None,
     batched: bool = True,
     wavefront: bool = False,
+    stratify_sampling: int = 0,
 ) -> MCMCResult:
+    if stratify_sampling and (mesh is not None or not batched):
+        raise NotImplementedError(
+            "stratify_sampling requires the batch-native mesh-less path"
+        )
     if batched:
         # Dispatch-overhead amortization: each device dispatch pays a fixed
         # RPC/launch cost (hundreds of ms through a tunneled chip), so draw
@@ -302,12 +316,18 @@ def _run_chains_fast(
         # <= ~256 MB of positions per chunk at f32.
         c, k = states.Q.q.shape
         sample_chunk = int(max(8, min(128, (1 << 26) // max(c * k, 1))))
+        if stratify_sampling and c % int(stratify_sampling):
+            raise ValueError(
+                f"n_chains={c} not divisible by stratify_sampling="
+                f"{stratify_sampling}"
+            )
         programs = _fast_programs_batched(
             ld, algorithm, schedule, mesh, sample_chunk=sample_chunk,
             wavefront=wavefront,
             # whole-warmup single program: mesh-less only (the per-block
             # path keeps the shard_map-wrapped stage/metric programs)
             monolithic=mesh is None,
+            stratify=int(stratify_sampling) if stratify_sampling else 0,
         )
     else:
         programs = _fast_programs(ld, algorithm, schedule, mesh)
@@ -348,6 +368,7 @@ def _run_chains_fast(
         n_samples,
         log=log,
         draw_sink=draw_sink,
+        stratify_sampling=int(stratify_sampling) if stratify_sampling else 0,
     )
     if search_results is not None:
         _check_stepsize_search([(None, search_results, None)])
@@ -362,7 +383,6 @@ def _run_chains_fast(
     )
 
 
-@functools.lru_cache(maxsize=32)
 def _fast_programs_batched(
     ld: LogDensity,
     algorithm: NUTS,
@@ -371,6 +391,27 @@ def _fast_programs_batched(
     sample_chunk: int = 8,
     wavefront: bool = False,
     monolithic: bool = False,
+    stratify: int = 0,
+):
+    """Cache-normalizing wrapper: kwargs/defaults collapse to one canonical
+    positional key (lru_cache keys f(a) and f(a, b=default) differently —
+    the retrace QA pin relies on exact cache hits)."""
+    return _fast_programs_batched_cached(
+        ld, algorithm, schedule, mesh, int(sample_chunk), bool(wavefront),
+        bool(monolithic), int(stratify),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _fast_programs_batched_cached(
+    ld: LogDensity,
+    algorithm: NUTS,
+    schedule: WarmupSchedule,
+    mesh: Optional[Mesh],
+    sample_chunk: int,
+    wavefront: bool,
+    monolithic: bool,
+    stratify: int,
 ):
     """Batch-native program bundle (tree_batched.py): no vmap; shard_map
     wraps the batched functions directly. One scalar key drives each program;
@@ -444,4 +485,5 @@ def _fast_programs_batched(
         wf_leading=mesh.devices.size if (pooled and mesh is not None) else 0,
         wavefront=wavefront,
         monolithic=monolithic,
+        stratify=stratify,
     )
