@@ -232,16 +232,11 @@ def make_tree_scratch(algorithm: NUTS, metric: Metric, C: int, K: int, dtype):
 
     Drivers that run many transitions should allocate this ONCE, thread it
     through their loop carry, and pass it via ``scratch=`` — materializing
-    the zero stacks inside every transition measured ~160 us at 4096x100
-    (16 MB-scale HBM broadcasts), ~10% of a shallow transition.
-
-    The stack is ONE packed (S, tau_len, C, K) array: each leaf's store and
-    each merge's pop is then a single fused dynamic-update-slice /
-    dynamic-slice of a contiguous (tau_len, C, K) block instead of tau_len
-    separate (C, K) ops — fewer kernel issues and larger DMA bursts."""
+    the (S, C, K) zero stacks inside every transition measured ~160 us at
+    4096x100 (5 x 16 MB HBM broadcasts), ~10% of a shallow transition."""
     tau_len = make_tau_ops(metric).tau_len
     S = algorithm.max_depth
-    return jnp.zeros((S, tau_len, C, K), dtype)
+    return tuple(jnp.zeros((S, C, K), dtype) for _ in range(tau_len))
 
 
 def sample_tree_batched(
@@ -367,10 +362,10 @@ def sample_tree_batched(
 
             def mbody(mc):
                 node, level, turned, tl = mc
-                slab = jax.lax.dynamic_index_in_dim(
-                    c["stack"], level, 0, keepdims=False
+                popped = tuple(
+                    jax.lax.dynamic_index_in_dim(s, level, 0, keepdims=False)
+                    for s in c["stack"]
                 )
-                popped = tuple(slab[j] for j in range(tau_len))
                 merged, turning = combine_dir(popped, node, is_fwd)
                 first_new_turn = turning & ~turned
                 a = c["n"] - (jnp.int32(1) << (level + 1)) + jnp.int32(1)
@@ -386,13 +381,14 @@ def sample_tree_batched(
 
             if "merge" in _ablate or merge_mode == "none":
                 level = jnp.int32(0)
-                stack = jax.lax.dynamic_update_index_in_dim(
-                    c["stack"], jnp.stack(node), 0, 0
+                stack = tuple(
+                    jax.lax.dynamic_update_index_in_dim(s, v, 0, 0)
+                    for s, v in zip(c["stack"], node)
                 )
             else:
                 if merge_mode == "odd":
                     # guaranteed first merge: pop slot 0 with a STATIC index
-                    popped = tuple(c["stack"][0][j] for j in range(tau_len))
+                    popped = tuple(s[0] for s in c["stack"])
                     node, turning = combine_dir(popped, node, is_fwd)
                     turn_left = jnp.where(
                         turning, i_edge + step * c["n"], turn_left
@@ -404,10 +400,10 @@ def sample_tree_batched(
                 node, level, turned, turn_left = jax.lax.while_loop(
                     mcond, mbody, (node, start_level, turned, turn_left)
                 )
-                # store the merged subtree at its (scalar) slot: ONE in-place
-                # DUS of the packed (tau_len, C, K) block
-                stack = jax.lax.dynamic_update_index_in_dim(
-                    c["stack"], jnp.stack(node), level, 0
+                # store the merged subtree at its (scalar) slot: in-place DUS
+                stack = tuple(
+                    jax.lax.dynamic_update_index_in_dim(s, v, level, 0)
+                    for s, v in zip(c["stack"], node)
                 )
 
             invalid = live & (divergent | turned)
@@ -454,10 +450,10 @@ def sample_tree_batched(
             cond, lambda c: process_leaf(c, "generic"), init
         )
         # the completed tree's turn statistic sits at slot == d
-        slab = jax.lax.dynamic_index_in_dim(
-            out["stack"], jnp.minimum(d, S - 1), 0, keepdims=False
+        tau_tree = tuple(
+            jax.lax.dynamic_index_in_dim(s, jnp.minimum(d, S - 1), 0, keepdims=False)
+            for s in out["stack"]
         )
-        tau_tree = tuple(slab[j] for j in range(tau_len))
         out["tau_tree"] = tau_tree
         out["i_end"] = i_edge + step * out["n"]
         return out
@@ -555,8 +551,9 @@ def sample_tree_batched(
         "d": jnp.int32(0),
         "dirs": directions,
         "stack": (
-            jnp.zeros((S, tau_len, C, K), dtype) if scratch is None
-            else scratch
+            tuple(jnp.zeros((S, C, K), dtype) for _ in range(tau_len))
+            if scratch is None
+            else tuple(scratch)
         ),
         "z_minus": z0,
         "z_plus": z0,
