@@ -17,16 +17,27 @@ import sys
 import time
 
 import jax
+
+# Persistent XLA compilation cache: every fresh process otherwise pays the
+# full program compiles (minutes for the monolithic warmup through the
+# tunneled chip); cached binaries cut reruns to seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
 
 def _ess_per_sec(positions: np.ndarray, seconds: float) -> tuple:
-    """Min/mean pooled bulk-ESS across parameters, per second."""
-    from dynamichmc_tpu.stats import ess_bulk
+    """Min/mean pooled bulk-ESS across parameters, per second (native
+    fastdiag batch engine when available; numpy parity fallback)."""
+    from dynamichmc_tpu.stats import ess_bulk, ess_rhat
 
-    c, n, k = positions.shape
-    ess = np.array([ess_bulk(positions[:, :, j]) for j in range(k)])
+    try:
+        ess = np.asarray(ess_rhat(positions)["ess_bulk"])
+    except Exception:
+        c, n, k = positions.shape
+        ess = np.array([ess_bulk(positions[:, :, j]) for j in range(k)])
     return float(ess.min() / seconds), float(ess.mean() / seconds)
 
 
@@ -57,8 +68,11 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     ld = correlated_gaussian(dim, dtype=jnp.float32, fused=fused)
     # warm-up compile run (not timed): same schedule => same cached programs
     if int(os.environ.get("BENCH_WARM", "1")):
+        # SAME n_samples: the chunk-assembly program's shapes are static in
+        # (n_chunks, n_samples); a short warm run would leave its compile
+        # inside the timed window (~0.5 s)
         run_chains(
-            jax.random.PRNGKey(9), ld, n_chains, 8,
+            jax.random.PRNGKey(9), ld, n_chains, n_samples,
             warmup_stages=_stages(metric_kind, warm=True), dtype=jnp.float32,
             warmup_driver=driver, stratify_sampling=stratify,
         ).positions.block_until_ready()
@@ -73,6 +87,8 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
         warmup_stages=_stages(metric_kind, warm=False), log=log,
         warmup_driver=driver, stratify_sampling=stratify,
     )
+    if log is not None:
+        log(f"run_chains returned at {time.perf_counter() - t0:.2f}s")
     res.positions.block_until_ready()
     seconds = time.perf_counter() - t0
     positions = np.asarray(res.positions, np.float64)

@@ -408,6 +408,67 @@ def build_programs(
     )
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("n_samples", "axis"))
+def _assemble_pieces(pieces, perm, n_samples, axis):
+    """One-dispatch assembly of sampling chunks (outer tuple) x stratified
+    groups (inner tuple) of (qs, lds, stats): concat groups on the chain
+    axis, chunks on the draw axis, trim to n_samples, and restore the
+    caller's lane order via ``perm``. Jitted because each eager op is a
+    separate tunnel RPC (~0.2 s apiece; measured 4.7 s total eager)."""
+
+    def cat0(*xs):
+        return jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
+
+    def catd(*xs):
+        out = jnp.concatenate(xs, axis=axis) if len(xs) > 1 else xs[0]
+        return jax.lax.slice_in_dim(out, 0, n_samples, axis=axis)
+
+    def assemble_array(field):
+        chunks = []
+        for chunk_groups in pieces:
+            vals = [g[field] for g in chunk_groups]
+            if vals[0] is None:
+                return None
+            chunks.append(cat0(*vals))
+        out = catd(*chunks)
+        return out[perm] if perm is not None else out
+
+    def assemble_tree(field):
+        trees = [
+            jax.tree_util.tree_map(cat0, *[g[field] for g in chunk_groups])
+            for chunk_groups in pieces
+        ]
+        cat = jax.tree_util.tree_map(catd, *trees)
+        if perm is not None:
+            cat = jax.tree_util.tree_map(lambda x: x[perm], cat)
+        return cat
+
+    return assemble_array(0), assemble_array(1), assemble_tree(2)
+
+
+@jax.jit
+def _regroup_lanes(group_out, inv_perm):
+    """Concat stratified groups on the chain axis and restore lane order
+    (streaming draw_sink path; one dispatch per chunk)."""
+    qs = jnp.concatenate([o[0] for o in group_out], axis=0)[inv_perm]
+    lds = jnp.concatenate([o[1] for o in group_out], axis=0)[inv_perm]
+    stats = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0)[inv_perm],
+        *[o[2] for o in group_out],
+    )
+    return qs, lds, stats
+
+
+@jax.jit
+def _regroup_q(q_parts, inv_perm):
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0)[inv_perm], *q_parts
+    )
+
+
 def execute(
     programs: FastPrograms,
     schedule: WarmupSchedule,
@@ -661,10 +722,6 @@ def execute(
     n_batch_dims = Q.q.ndim - 1
     axis = n_batch_dims
 
-    def concat(xs):
-        out = jnp.concatenate(xs, axis=axis) if len(xs) > 1 else xs[0]
-        return jax.lax.slice_in_dim(out, 0, n_samples, axis=axis)
-
     G = int(stratify_sampling) if stratify_sampling else 0
     C_total = Q.q.shape[0] if n_batch_dims == 1 else 0
     stratify = (
@@ -718,31 +775,24 @@ def execute(
                 )
                 Q_parts[g] = Qg
                 group_out.append((qs, lds, stats))
-            qs = jnp.concatenate([o[0] for o in group_out], axis=0)
-            lds = jnp.concatenate([o[1] for o in group_out], axis=0)
-            stats = jax.tree_util.tree_map(
-                lambda *xs: jnp.concatenate(list(xs), axis=0),
-                *[o[2] for o in group_out],
-            )
-            # restore the caller's lane order before anything leaves
-            qs, lds, stats = jax.tree_util.tree_map(
-                lambda x: x[inv_perm], (qs, lds, stats)
-            )
             if draw_sink is not None:
+                # restore the caller's lane order before anything leaves
+                qs, lds, stats = _regroup_lanes(tuple(group_out), inv_perm)
                 draw_sink(c * chunk, qs, lds, stats)
-                pieces.append((None, None, stats))
+                pieces.append(((None, None, stats),))
             else:
-                pieces.append((qs, lds, stats))
+                # raw group pieces; ONE jitted assembly at the end (each
+                # eager op here is a tunnel RPC — measured ~0.2 s apiece)
+                pieces.append(tuple(group_out))
             if log is not None:
-                jax.block_until_ready(lds)
+                jax.block_until_ready(group_out[-1][1])
                 log(
                     f"sampling[stratified x{G}]: "
                     f"{min((c + 1) * chunk, n_samples)}"
                     f"/{n_samples} ({_time.perf_counter() - t_sample:.1f}s)"
                 )
-        Q = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(list(xs), axis=0)[inv_perm], *Q_parts
-        )
+        Q = _regroup_q(tuple(Q_parts), inv_perm)
+        pieces_perm = None if draw_sink is not None else inv_perm
     else:
         n_chunks = -(-n_samples // programs.sample_chunk)
         pieces = []
@@ -753,23 +803,27 @@ def execute(
             )
             if draw_sink is not None:
                 draw_sink(c * programs.sample_chunk, qs, lds, stats)
-                pieces.append((None, None, stats))
+                pieces.append(((None, None, stats),))
             else:
-                pieces.append((qs, lds, stats))
+                pieces.append(((qs, lds, stats),))
             if log is not None:
                 jax.block_until_ready(lds)
                 log(
                     f"sampling: {min((c + 1) * programs.sample_chunk, n_samples)}"
                     f"/{n_samples} ({_time.perf_counter() - t_sample:.1f}s)"
                 )
+        pieces_perm = None
 
-    if draw_sink is None:
-        positions = concat([p[0] for p in pieces])
-        logdensities = concat([p[1] for p in pieces])
-    else:
-        positions = None
-        logdensities = None
-    stats = jax.tree_util.tree_map(lambda *xs: concat(list(xs)), *[p[2] for p in pieces])
+    # ONE jitted dispatch assembles every chunk (and, stratified, every
+    # group) and restores lane order: doing this with eager ops measured
+    # 4.7 s of tunnel RPCs on the headline config vs ~0.2 s jitted.
+    t_asm = _time.perf_counter()
+    positions, logdensities, stats = _assemble_pieces(
+        tuple(pieces), pieces_perm, n_samples, axis
+    )
+    if log is not None:
+        jax.block_until_ready(stats)
+        log(f"chunk assembly: {_time.perf_counter() - t_asm:.2f}s")
     inference = (Q, positions, logdensities, stats)
     return metric, eps, search_results, summaries, inference
 
