@@ -349,8 +349,9 @@ class FastPrograms(NamedTuple):
     wavefront_init: Optional[Callable] = None
     # whole-warmup single program (block boundaries compiled in)
     warmup_mono: Optional[Callable] = None
-    # width-C/G sampling program with a G-scaled chunk (depth stratification)
+    # width-C/G sampling program with its own chunk (depth stratification)
     sample_stratified: Optional[Callable] = None
+    stratified_chunk: int = 0
 
 
 def build_programs(
@@ -469,6 +470,13 @@ def _regroup_q(q_parts, inv_perm):
     )
 
 
+@jax.jit
+def _tree_sum(parts):
+    """Sum a list of identically-shaped stat dicts in ONE dispatch (the
+    eager per-chunk adds each cost a tunnel RPC)."""
+    return jax.tree_util.tree_map(lambda *xs: sum(xs), *parts)
+
+
 def execute(
     programs: FastPrograms,
     schedule: WarmupSchedule,
@@ -571,7 +579,7 @@ def execute(
         da = da0
         wf = wf0
         eps_run = strong(adaptation.current(da0))
-        totals = None
+        totals = []
         start = 0
         while start < total:
             step_count = min(chunk, total - start)
@@ -582,10 +590,7 @@ def execute(
             )
             jax.block_until_ready(t["acc_sum"])
             wall = _time.perf_counter() - t0
-            totals = (
-                t if totals is None
-                else {k: totals[k] + v for k, v in t.items()}
-            )
+            totals.append(t)
             start += step_count
             per_step = wall / max(step_count, 1)
             chunk = int(max(1, min(total, target_seconds / max(per_step, 1e-4))))
@@ -595,6 +600,7 @@ def execute(
                     f"next chunk {chunk})"
                 )
         eps = eps_run
+        totals = _tree_sum(tuple(totals)) if len(totals) > 1 else totals[0]
         summaries.append(
             StageSummary(
                 mean_acceptance=totals["acc_sum"] / max(total, 1),
@@ -669,6 +675,7 @@ def execute(
             start = n
         else:
             totals = None
+            totals_parts = []
             start = 0
         while start < n:
             step_count = min(chunk, n - start)
@@ -678,11 +685,7 @@ def execute(
             )
             jax.block_until_ready(t["acc_sum"])
             wall = _time.perf_counter() - t0
-            totals = (
-                t
-                if totals is None
-                else {k: totals[k] + v for k, v in t.items()}
-            )
+            totals_parts.append(t)
             start += step_count
             # adapt the dispatch quantum toward the wall-clock target
             per_step = wall / max(step_count, 1)
@@ -692,6 +695,12 @@ def execute(
                     f"warmup block {i + 1}/{len(schedule.block_sizes)}: "
                     f"{start}/{n} steps ({wall:.1f}s, next chunk {chunk})"
                 )
+        if totals is None:
+            totals = (
+                _tree_sum(tuple(totals_parts))
+                if len(totals_parts) > 1
+                else totals_parts[0]
+            )
         summaries.append(
             StageSummary(
                 mean_acceptance=totals["acc_sum"] / max(n, 1),
@@ -752,7 +761,7 @@ def execute(
             else metric
         )
         Cg = C_total // G
-        chunk = programs.sample_chunk * G  # baked into sample_stratified
+        chunk = programs.stratified_chunk  # baked into sample_stratified
         n_chunks = -(-n_samples // chunk)
         pieces = []
         Q_parts = [None] * G
@@ -1222,6 +1231,7 @@ def build_programs_batched(
     wavefront: bool = False,
     monolithic: bool = False,
     stratify: int = 0,
+    stratify_chunk: int = 0,
 ):
     """Batch-native program bundle. ``wrap(fn, kind)`` applies shard_map/jit
     (no vmap needed). Pooled vs per-chain metrics are carried by array rank;
@@ -1334,11 +1344,17 @@ def build_programs_batched(
         sample_stratified=(
             wrap(
                 make_sampling_driver_batched(
-                    ld, algorithm, sample_chunk * stratify
+                    ld, algorithm,
+                    stratify_chunk or sample_chunk * stratify,
                 ),
                 "sample_stratified",
             )
             if stratify and stratify > 1
             else None
+        ),
+        stratified_chunk=(
+            (stratify_chunk or sample_chunk * stratify)
+            if stratify and stratify > 1
+            else 0
         ),
     )

@@ -424,17 +424,27 @@ def mcmc_keep_warmup(
     }
 
 
+def _to_local(x):
+    """Fetch a possibly-globally-sharded array for host inspection: on a
+    multi-process run, np.asarray on a non-addressable global jax.Array
+    raises by design; the per-process shards suffice for a failure check."""
+    shards = getattr(x, "addressable_shards", None)
+    if shards is not None and not getattr(x, "is_fully_addressable", True):
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(x)
+
+
 def _check_stepsize_search(history):
     """Host-side check replacing the reference's throw on a failed bracketing
     search (stepsize.jl:56-59)."""
     for _stage, results, _state in history:
         if isinstance(results, dict) and "success" in results:
-            success = np.asarray(results["success"])
+            success = _to_local(results["success"])
             if not np.all(success):
                 raise DynamicHMCError(
                     "Initial stepsize search reached maximum number of "
                     "iterations without crossing.",
-                    eps=np.asarray(results["eps"]),
+                    eps=_to_local(results["eps"]),
                     failed_fraction=float(1 - success.mean()),
                 )
 

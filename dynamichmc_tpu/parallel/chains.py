@@ -321,13 +321,17 @@ def _run_chains_fast(
                 f"n_chains={c} not divisible by stratify_sampling="
                 f"{stratify_sampling}"
             )
+        G = int(stratify_sampling) if stratify_sampling else 0
         programs = _fast_programs_batched(
             ld, algorithm, schedule, mesh, sample_chunk=sample_chunk,
             wavefront=wavefront,
             # whole-warmup single program: mesh-less only (the per-block
             # path keeps the shard_map-wrapped stage/metric programs)
             monolithic=mesh is None,
-            stratify=int(stratify_sampling) if stratify_sampling else 0,
+            stratify=G,
+            # cap the per-group chunk at the actual draw count (a baked
+            # G-scaled chunk over-executes when sample_chunk*G > n_samples)
+            stratify_chunk=min(sample_chunk * G, n_samples) if G > 1 else 0,
         )
     else:
         programs = _fast_programs(ld, algorithm, schedule, mesh)
@@ -392,13 +396,14 @@ def _fast_programs_batched(
     wavefront: bool = False,
     monolithic: bool = False,
     stratify: int = 0,
+    stratify_chunk: int = 0,
 ):
     """Cache-normalizing wrapper: kwargs/defaults collapse to one canonical
     positional key (lru_cache keys f(a) and f(a, b=default) differently —
     the retrace QA pin relies on exact cache hits)."""
     return _fast_programs_batched_cached(
         ld, algorithm, schedule, mesh, int(sample_chunk), bool(wavefront),
-        bool(monolithic), int(stratify),
+        bool(monolithic), int(stratify), int(stratify_chunk),
     )
 
 
@@ -412,6 +417,7 @@ def _fast_programs_batched_cached(
     wavefront: bool,
     monolithic: bool,
     stratify: int,
+    stratify_chunk: int,
 ):
     """Batch-native program bundle (tree_batched.py): no vmap; shard_map
     wraps the batched functions directly. One scalar key drives each program;
@@ -486,4 +492,5 @@ def _fast_programs_batched_cached(
         wavefront=wavefront,
         monolithic=monolithic,
         stratify=stratify,
+        stratify_chunk=stratify_chunk,
     )

@@ -36,8 +36,23 @@ def initialize(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # tolerate re-initialization always, and the backend-already-started
+        # error ONLY for the no-coordinator (single-process no-op) case;
+        # anything else (bad coordinator, connection refused, backend
+        # started before an explicitly-requested multi-process init) must
+        # surface, not silently degrade to a single-process run
+        msg = str(e).lower()
+        benign = "already initialized" in msg or (
+            coordinator_address is None and "must be called before" in msg
+        )
+        if not benign:
+            raise
+    except ValueError:
+        # no coordinator given and none auto-detected from the environment:
+        # a plain single-process run — the documented no-op case
+        if coordinator_address is not None:
+            raise
 
 
 def global_chain_mesh() -> Mesh:

@@ -46,6 +46,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .utils.pytree import tree_select_level, tree_update_level, tree_where
 
@@ -72,7 +73,10 @@ def random_directions(key: jax.Array) -> jnp.ndarray:
 #   left == right           divergence at that position
 #   left < right            turning over positions left:right
 
-TERM_MAX_DEPTH = (jnp.int32(1), jnp.int32(0))
+# numpy scalars (not jnp): creating a device array at import time would
+# initialize the XLA backend, which breaks jax.distributed.initialize()
+# ordering for multi-process users of this library
+TERM_MAX_DEPTH = (np.int32(1), np.int32(0))
 
 
 def is_divergent_termination(left, right):

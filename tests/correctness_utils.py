@@ -80,10 +80,18 @@ def run_and_check(
         print(f"[alert] {label}: EBFMI {ebfmi.min():.3f} < {t.ebfmi_alert}")
 
     if check_ad and model.has_exact_sampler:
+        # anderson_ksamp assumes i.i.d. samples; MCMC draws are
+        # autocorrelated, and on slow-mixing targets (tau_fail down to 0.1)
+        # the statistic computed at the nominal draw count is inflated by
+        # ~1/tau — a false positive, not a sampler bias (verified: mixture
+        # weight/moments recover to Monte-Carlo noise while raw-draw AD
+        # fails). Thin to effective independence by the measured bulk ESS.
+        stride = max(1, int(np.ceil((c * n) / max(stats["ess_bulk"].min(), 1.0))))
+        thinned = positions[:, ::stride, :]
+        pooled = thinned.reshape(-1, k)
         exact = np.asarray(
-            model.sample(jax.random.fold_in(key, 999), c * n), np.float64
+            model.sample(jax.random.fold_in(key, 999), len(pooled)), np.float64
         )
-        pooled = positions.reshape(c * n, k)
         # Bonferroni d-correction (sample-correctness_utilities.jl:119-126).
         # scipy floors significance_level at 0.001 (and caps at 0.25): when
         # the Bonferroni-corrected fail threshold is at/below that floor,

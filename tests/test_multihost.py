@@ -83,9 +83,15 @@ res = run_chains_multihost(
     dtype="float64",
 )
 import numpy as np
-m_inv = np.asarray(res.metric.m_inv)
-assert m_inv.shape == (2,), m_inv.shape
+# results are GLOBAL jax.Arrays spanning both processes: read the local
+# shard (the multihost idiom; np.asarray on a non-addressable global array
+# raises by design)
+m_inv = np.asarray(res.metric.m_inv.addressable_shards[0].data)
+assert m_inv.shape == (2,), m_inv.shape  # pooled metric: replicated
 assert np.all(np.isfinite(m_inv))
+local_q = res.positions.addressable_shards[0].data
+assert local_q.shape == (1, 50, 2), local_q.shape  # 1 chain per device
+assert np.all(np.isfinite(np.asarray(local_q)))
 print(f"proc {proc_id} OK", flush=True)
 """
 
