@@ -569,6 +569,7 @@ def execute(
             jax.block_until_ready(warm[3]["acc_sum"])
 
     chunk = 4
+    per_step_max_blk = 0.0  # max per-step cost seen across ALL blocks
     wf_budget = 2048  # wavefront iterations per dispatch (adapted below)
     summaries = []
 
@@ -580,6 +581,7 @@ def execute(
         wf = wf0
         eps_run = strong(adaptation.current(da0))
         totals = []
+        per_step_max = 0.0
         start = 0
         while start < total:
             step_count = min(chunk, total - start)
@@ -592,8 +594,17 @@ def execute(
             wall = _time.perf_counter() - t0
             totals.append(t)
             start += step_count
-            per_step = wall / max(step_count, 1)
-            chunk = int(max(1, min(total, target_seconds / max(per_step, 1e-4))))
+            # conservative sizing: early transitions are the SHALLOWEST
+            # (trees deepen as eps adapts), so extrapolating the next chunk
+            # from the latest per-step cost alone can overshoot the ~60 s
+            # TPU watchdog; track the max per-step cost seen and never grow
+            # the chunk more than 4x per dispatch
+            per_step_max = max(per_step_max, wall / max(step_count, 1))
+            chunk = int(max(1, min(
+                total,
+                target_seconds / max(per_step_max, 1e-4),
+                4 * step_count,
+            )))
             if log is not None:
                 log(
                     f"warmup: {start}/{total} steps ({wall:.1f}s, "
@@ -688,8 +699,13 @@ def execute(
             totals_parts.append(t)
             start += step_count
             # adapt the dispatch quantum toward the wall-clock target
-            per_step = wall / max(step_count, 1)
-            chunk = int(max(1, min(max_chunk, target_seconds / max(per_step, 1e-4))))
+            # (max-seen per-step cost + 4x growth cap: see monolithic loop)
+            per_step_max_blk = max(per_step_max_blk, wall / max(step_count, 1))
+            chunk = int(max(1, min(
+                max_chunk,
+                target_seconds / max(per_step_max_blk, 1e-4),
+                4 * step_count,
+            )))
             if log is not None:
                 log(
                     f"warmup block {i + 1}/{len(schedule.block_sizes)}: "

@@ -423,22 +423,46 @@ def _fast_programs_batched_cached(
     wraps the batched functions directly. One scalar key drives each program;
     under a mesh the device index is folded into it so shards draw
     independent streams."""
+    import dataclasses as _dc
+
     from ..engine import build_programs_batched
+    from ..stepsize import PooledStepsize
+
+    if (
+        mesh is not None
+        and isinstance(schedule.adaptation, PooledStepsize)
+        and schedule.adaptation.axis_name is None
+    ):
+        # under shard_map each device only sees its local lanes; pool the
+        # acceptance signal over the mesh axis too, or every device adapts
+        # a different "shared" eps
+        schedule = _dc.replace(
+            schedule,
+            adaptation=_dc.replace(
+                schedule.adaptation, axis_name=CHAIN_AXIS
+            ),
+        )
 
     pooled = schedule.pooled
     metric_spec = P() if pooled else P(CHAIN_AXIS)
+    # pooled stepsize: the dual-averaging state and the sampling eps are
+    # SHARED scalars (replicated), not per-lane arrays
+    pooled_eps = isinstance(schedule.adaptation, PooledStepsize)
+    da_spec = P() if pooled_eps else P(CHAIN_AXIS)
+    eps_spec = P() if pooled_eps else P(CHAIN_AXIS)
     # pooled: the shared Welford state is carried per-device with a leading
     # device axis (P(chains) over that axis); the metric update combines it
     specs_by_kind = {
         "search": (P(), P(CHAIN_AXIS), metric_spec),
-        "stage": (P(), P(CHAIN_AXIS), metric_spec, P(CHAIN_AXIS), P(CHAIN_AXIS), P(), P()),
+        "stage": (P(), P(CHAIN_AXIS), metric_spec, da_spec, P(CHAIN_AXIS), P(), P()),
         "metric": (P(CHAIN_AXIS),),
         "metric_shared": (P(CHAIN_AXIS),),
-        "sample": (P(), P(CHAIN_AXIS), metric_spec, P(CHAIN_AXIS), P()),
+        "sample": (P(), P(CHAIN_AXIS), metric_spec, eps_spec, P()),
     }
     out_specs_by_kind = {
         "search": P(CHAIN_AXIS),
-        "stage": P(CHAIN_AXIS),
+        # (Q', da', wf', totals): da' replicated when eps is pooled
+        "stage": (P(CHAIN_AXIS), da_spec, P(CHAIN_AXIS), P(CHAIN_AXIS)),
         "metric": P(CHAIN_AXIS),
         "metric_shared": P(),
         "sample": P(CHAIN_AXIS),

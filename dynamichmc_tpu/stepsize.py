@@ -173,6 +173,11 @@ class PooledStepsize:
     """
 
     inner: object = None
+    # named mesh axis to pool over IN ADDITION to the local chain batch:
+    # under shard_map each device only sees its local lanes, and a purely
+    # local mean would adapt a different "shared" eps per device. Set by the
+    # engine when building mesh programs; users need not touch it.
+    axis_name: object = None
 
     def __post_init__(self):
         if self.inner is None:
@@ -182,7 +187,20 @@ class PooledStepsize:
         eps = jnp.asarray(eps)
         if eps.ndim == 0:
             return eps
-        return jnp.exp(jnp.mean(jnp.log(eps)))  # geometric mean
+        pooled = jnp.mean(jnp.log(eps))
+        pooled = self._pmean(pooled)
+        return jnp.exp(pooled)  # geometric mean
+
+    def _pmean(self, x):
+        """pmean over the mesh axis when inside the sharded program; outside
+        (host-side init sees the full global array) the axis is unbound and
+        the local value is already the global pool."""
+        if self.axis_name is None:
+            return x
+        try:
+            return jax.lax.pmean(x, self.axis_name)
+        except NameError:
+            return x
 
     def init(self, eps):
         return self.inner.init(self._pool_eps(eps))
@@ -190,6 +208,7 @@ class PooledStepsize:
     def update(self, state, a):
         a = jnp.asarray(a)
         pooled = a if a.ndim == 0 else jnp.mean(a)
+        pooled = self._pmean(pooled)
         return self.inner.update(state, pooled)
 
     def current(self, state):

@@ -70,6 +70,29 @@ def test_pooled_adaptation_synchronizes_metric():
     np.testing.assert_allclose(m_inv, [0.5, 1.0, 2.0], rtol=0.5)
 
 
+def test_pooled_stepsize_on_mesh_is_globally_shared():
+    # under shard_map each device sees only its local lanes; PooledStepsize
+    # must pmean the acceptance signal over the mesh axis so every device
+    # adapts the SAME shared eps
+    mesh = chain_mesh()
+    res = run_chains(
+        jax.random.PRNGKey(7),
+        mvnormal(np.zeros(3), np.diag([0.5, 1.0, 2.0])),
+        n_chains=16,
+        n_samples=100,
+        dtype=jnp.float64,
+        mesh=mesh,
+        warmup_stages=default_warmup_stages(pooled=True, pooled_stepsize=True),
+    )
+    eps = np.asarray(res.eps)
+    assert eps.ndim == 0 or len(np.unique(eps)) == 1, eps
+    assert np.isfinite(eps).all() and (eps > 0).all()
+    qs = np.asarray(res.positions).reshape(-1, 3)
+    np.testing.assert_allclose(
+        qs.std(0), np.sqrt([0.5, 1.0, 2.0]), rtol=0.15
+    )
+
+
 def test_unpooled_metrics_differ():
     res = run_chains(
         jax.random.PRNGKey(3), std_normal(3), n_chains=4, n_samples=50,
