@@ -1287,16 +1287,12 @@ def build_programs_batched(
         from .stepsize import PooledStepsize
         from .tree_wavefront import make_wavefront_stage_driver, wavefront_init
 
-        if isinstance(schedule.adaptation, PooledStepsize):
-            raise NotImplementedError(
-                "the wavefront driver adapts per lane (completions are "
-                "desynchronized); use the sync driver with PooledStepsize"
-            )
+        pooled_eps = isinstance(schedule.adaptation, PooledStepsize)
 
         stage_wavefront = wrap(
             make_wavefront_stage_driver(
                 ld, algorithm, schedule.adaptation,
-                pooled_welford=schedule.pooled,
+                pooled_welford=schedule.pooled, pooled_eps=pooled_eps,
             ),
             "wavefront",
         )
@@ -1305,6 +1301,7 @@ def build_programs_batched(
                 make_wavefront_stage_driver(
                     ld, algorithm, schedule.adaptation,
                     pooled_welford=schedule.pooled, use_welford=False,
+                    pooled_eps=pooled_eps,
                 ),
                 "wavefront",
             )

@@ -151,6 +151,9 @@ def wavefront_init(
         "div": zeros_i,
         "steps_total": zeros_i,
         "maxd": zeros_i,
+        # epochal pooled-eps accumulators (scalars; unused per-chain)
+        "acc_ep_sum": jnp.zeros((), dtype),
+        "acc_ep_n": jnp.zeros((), dtype),
         # transition state
         "Q": Q,
         "eps_l": zeros,
@@ -188,6 +191,8 @@ def make_wavefront_stage_driver(
     adaptation,
     pooled_welford: bool = False,
     use_welford: bool = True,
+    pooled_eps: bool = False,
+    epoch: int = 16,
 ):
     """Resumable wavefront tuning-stage program.
 
@@ -197,6 +202,17 @@ def make_wavefront_stage_driver(
     transitions or the counter reaches ``g_stop`` (the host's watchdog-safe
     dispatch budget). Step keys derive from fold_in(key, g), so chunked
     dispatches of the same stage are bitwise reproducible.
+
+    ``pooled_eps=True`` (PooledStepsize adaptation) makes the wavefront
+    compatible with a SHARED stepsize: a per-transition batch-mean update is
+    impossible when lanes complete asynchronously, so completed-transition
+    acceptances accumulate and ONE pooled dual-averaging update fires every
+    ``epoch`` global slots (with the epoch-mean acceptance — still a nearly
+    noise-free signal at fleet scale). Every transition runs at the eps it
+    captured when it started, so each lane remains a valid NUTS chain; the
+    update cadence only changes the adaptation trajectory, which pooled
+    adaptation is robust to. Epoch boundaries key off the global counter,
+    so host chunking stays bitwise reproducible.
     """
     if algorithm.turn_statistic_configuration != "generalized":
         raise NotImplementedError(
@@ -397,16 +413,43 @@ def make_wavefront_stage_driver(
             acc_rate = jnp.minimum(
                 jnp.exp(log_sum) / jnp.maximum(steps_tr, 1), 1.0
             )
-            da_new = adaptation.update(c["da"], acc_rate)
-            da = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(
-                    jnp.reshape(tr_done, tr_done.shape + (1,) * (new.ndim - 1)),
-                    new,
-                    old,
-                ),
-                da_new,
-                c["da"],
-            )
+            if pooled_eps:
+                # SHARED eps: accumulate completed transitions' acceptance;
+                # one pooled DA update per epoch of global slots
+                acc_ep_sum = c["acc_ep_sum"] + jnp.sum(
+                    jnp.where(tr_done, acc_rate, 0.0)
+                )
+                acc_ep_n = c["acc_ep_n"] + jnp.sum(tr_done.astype(dtype))
+                at_epoch = ((g + 1) % jnp.int32(epoch)) == 0
+
+                def ep_update(args):
+                    da_in, ssum, n = args
+                    da_out = adaptation.update(
+                        da_in, ssum / jnp.maximum(n, 1.0)
+                    )
+                    return da_out, jnp.zeros_like(ssum), jnp.zeros_like(n)
+
+                da, acc_ep_sum, acc_ep_n = jax.lax.cond(
+                    at_epoch & (acc_ep_n > 0),
+                    ep_update,
+                    lambda args: args,
+                    (c["da"], acc_ep_sum, acc_ep_n),
+                )
+            else:
+                acc_ep_sum = c["acc_ep_sum"]
+                acc_ep_n = c["acc_ep_n"]
+                da_new = adaptation.update(c["da"], acc_rate)
+                da = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(
+                        jnp.reshape(
+                            tr_done, tr_done.shape + (1,) * (new.ndim - 1)
+                        ),
+                        new,
+                        old,
+                    ),
+                    da_new,
+                    c["da"],
+                )
             Q_new = EvaluatedPoint(q=prop_q, logdensity=prop_ld, grad=prop_grad)
             Q = EvaluatedPoint(
                 q=jnp.where(tr_done[:, None], prop_q, c["Q"].q),
@@ -432,6 +475,8 @@ def make_wavefront_stage_driver(
                 "div": div,
                 "steps_total": steps_total,
                 "maxd": maxd,
+                "acc_ep_sum": acc_ep_sum,
+                "acc_ep_n": acc_ep_n,
                 "Q": Q,
                 "eps_l": eps_l,
                 "dirs": dirs,

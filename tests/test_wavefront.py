@@ -102,14 +102,31 @@ def test_trailing_ones():
 
 def test_wavefront_guards():
     ld = std_normal(2)
-    with pytest.raises(NotImplementedError):
-        run_chains(
-            jax.random.PRNGKey(3), ld, 8, 10, dtype=jnp.float64,
-            warmup_stages=default_warmup_stages(pooled_stepsize=True),
-            warmup_driver="wavefront",
-        )
     with pytest.raises(ValueError):
         run_chains(jax.random.PRNGKey(3), ld, 8, 10, warmup_driver="turbo")
+
+
+def test_wavefront_pooled_stepsize_epochal():
+    # epochal pooled eps: completed-transition acceptances pool into ONE
+    # shared dual-averaging update per epoch of global slots
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(4, 4))
+    cov = A @ A.T + 0.3 * np.eye(4)
+    ld = mvnormal(np.zeros(4), cov)
+    res = run_chains(
+        jax.random.PRNGKey(6), ld, 16, 400, dtype=jnp.float64,
+        warmup_stages=default_warmup_stages(
+            metric_kind="dense", pooled=True, pooled_stepsize=True
+        ),
+        warmup_driver="wavefront",
+    )
+    eps = np.asarray(res.eps)
+    assert eps.ndim == 0 and 0.05 < float(eps) < 5.0
+    qs = np.asarray(res.positions).reshape(-1, 4)
+    assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.08
+    assert np.abs(qs.mean(0) / np.sqrt(np.diag(cov))).max() < 0.08
+    acc = float(np.asarray(res.tree_statistics.acceptance_rate).mean())
+    assert acc > 0.7
 
 
 def test_pooled_stepsize_shared_eps():
