@@ -541,6 +541,9 @@ def execute(
     eps = strong(eps)
     da0 = strong(adaptation.init(eps))
     wf0 = make_wf()
+    if log is not None:
+        jax.block_until_ready(eps)
+        log(f"prologue: {_time.perf_counter() - t_start:.2f}s since start")
     if programs.warmup_mono is not None:
         metric = promote_metric(metric, schedule.metric_kind)
         eps_run0 = strong(adaptation.current(da0))
@@ -548,6 +551,8 @@ def execute(
             key_fold(0), Q, metric, da0, wf0, eps_run0, jnp.int32(0), jnp.int32(0)
         )
         jax.block_until_ready(warm[5]["acc_sum"])
+        if log is not None:
+            log(f"warm dispatch done: {_time.perf_counter() - t_start:.2f}s")
     elif programs.stage_wavefront is not None:
         carry0 = programs.wavefront_init(Q, metric, da0, wf0)
         for wfront_fn in (programs.stage_wavefront, programs.stage_wavefront_nowf):

@@ -313,9 +313,11 @@ def _run_chains_fast(
         # Dispatch-overhead amortization: each device dispatch pays a fixed
         # RPC/launch cost (hundreds of ms through a tunneled chip), so draw
         # chunks are sized as large as memory comfortably allows — target
-        # <= ~256 MB of positions per chunk at f32.
+        # <= ~1 GB of positions per chunk at f32 (the whole 512-draw
+        # headline run fits one dispatch; transient doubling at the
+        # draw-major -> chain-major transpose stays well under HBM).
         c, k = states.Q.q.shape
-        sample_chunk = int(max(8, min(128, (1 << 26) // max(c * k, 1))))
+        sample_chunk = int(max(8, min(512, (1 << 28) // max(c * k, 1))))
         if stratify_sampling and c % int(stratify_sampling):
             raise ValueError(
                 f"n_chains={c} not divisible by stratify_sampling="

@@ -26,7 +26,7 @@ def test_stage_program_compiles_once_for_all_block_sizes():
     # sample_chunk caps at 128 for tiny batches; monolithic warmup is the
     # mesh-less default; wavefront is passed explicitly by run_chains
     programs = _fast_programs_batched(
-        ld, NUTS(), schedule, None, sample_chunk=128, wavefront=False,
+        ld, NUTS(), schedule, None, sample_chunk=512, wavefront=False,
         monolithic=True,
     )
     mono_traces = programs.warmup_mono._cache_size()
