@@ -30,11 +30,14 @@ randomness). This costs one threefry per leaf for ALL chains instead of C,
 at the price of draw-stream dependence on the batch size (documented; the
 per-chain drivers remain for bitwise single-chain reproducibility).
 
-Measured at 4096 chains x 100-d f32 (TPU v5e): ~0.29 ms/leaf vs 0.35 ms for
-the vmapped fast driver and 0.063 ms for a bare leapfrog loop; end-to-end it
-cut the headline benchmark wall from 72 s to 32 s (the win compounds on the
-shallow post-adaptation trees where fixed per-leaf overhead dominates), and
-the fused Pallas leaf kernel (ops/pallas_leaf.py) takes a further ~20%.
+Measured at 4096 chains x 100-d f32 (TPU v5e, round 2): ~54 us marginal
+per-leaf cost + ~0.58 ms fixed per transition (+~90 us per doubling), vs
+16 us marginal for a bare leapfrog iteration — see BENCH_NOTES.md for the
+cost model, the scratch-threading fix that removed the per-transition
+stack materialization, and the measured-and-rejected variants (leaf-pair
+unrolling, packed stack layout). End-to-end this driver + the monolithic
+warmup carry the 467k ESS/s headline (round 1: 18.5k with the vmapped
+generic driver, 129k at round-1 close).
 """
 
 from __future__ import annotations
