@@ -1053,7 +1053,8 @@ def promote_metric(metric, kind: str):
 
 
 def make_monolithic_warmup_driver(
-    ld: LogDensity, algorithm: NUTS, schedule: "WarmupSchedule"
+    ld: LogDensity, algorithm: NUTS, schedule: "WarmupSchedule",
+    mesh_axis=None,
 ):
     """ONE compiled program for the ENTIRE staged warmup (batch-native).
 
@@ -1151,7 +1152,15 @@ def make_monolithic_warmup_driver(
                 if kind == "none":
                     new_metric = _metric_in
                 elif pooled:
-                    new_metric = estimate_metric(wf_in, kind, lam, None)
+                    # under a mesh each shard holds a locally-pooled Welford
+                    # state; Chan-combine across devices (pmean/psum on ICI)
+                    # so every shard estimates the SAME shared metric
+                    wf_c = (
+                        pool_welford_over_axis(wf_in, mesh_axis)
+                        if mesh_axis is not None
+                        else wf_in
+                    )
+                    new_metric = estimate_metric(wf_c, kind, lam, None)
                 else:
                     new_metric = jax.vmap(
                         lambda w: estimate_metric(w, kind, lam, None)
@@ -1318,7 +1327,9 @@ def build_programs_batched(
     warmup_mono = None
     if monolithic and not wavefront:
         warmup_mono = wrap(
-            make_monolithic_warmup_driver(ld, algorithm, schedule),
+            make_monolithic_warmup_driver(
+                ld, algorithm, schedule, mesh_axis=mesh_axis
+            ),
             "warmup_mono",
         )
     metric_updates = {}

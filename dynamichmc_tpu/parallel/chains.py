@@ -327,9 +327,10 @@ def _run_chains_fast(
         programs = _fast_programs_batched(
             ld, algorithm, schedule, mesh, sample_chunk=sample_chunk,
             wavefront=wavefront,
-            # whole-warmup single program: mesh-less only (the per-block
-            # path keeps the shard_map-wrapped stage/metric programs)
-            monolithic=mesh is None,
+            # whole-warmup single program (mesh-less AND mesh: under a mesh
+            # the metric boundaries Chan-combine per-device Welford states
+            # over ICI inside the program)
+            monolithic=True,
             stratify=G,
             # cap the per-group chunk at the actual draw count (a baked
             # G-scaled chunk over-executes when sample_chunk*G > n_samples)
@@ -460,6 +461,10 @@ def _fast_programs_batched_cached(
         "metric": (P(CHAIN_AXIS),),
         "metric_shared": (P(CHAIN_AXIS),),
         "sample": (P(), P(CHAIN_AXIS), metric_spec, eps_spec, P()),
+        "warmup_mono": (
+            P(), P(CHAIN_AXIS), metric_spec, da_spec, P(CHAIN_AXIS),
+            eps_spec, P(), P(),
+        ),
     }
     out_specs_by_kind = {
         "search": P(CHAIN_AXIS),
@@ -468,6 +473,11 @@ def _fast_programs_batched_cached(
         "metric": P(CHAIN_AXIS),
         "metric_shared": P(),
         "sample": P(CHAIN_AXIS),
+        # (Q', metric', da', wf', eps_run', totals)
+        "warmup_mono": (
+            P(CHAIN_AXIS), metric_spec, da_spec, P(CHAIN_AXIS), eps_spec,
+            P(CHAIN_AXIS),
+        ),
     }
 
     def wrap(fn, kind):
@@ -477,7 +487,7 @@ def _fast_programs_batched_cached(
             # consumes the (n_devices, ...) per-device pooled Welford states
             # directly; no shard_map needed for this tiny computation
             return jax.jit(fn)
-        if kind in ("search", "stage", "sample"):
+        if kind in ("search", "stage", "sample", "warmup_mono"):
             inner = fn
 
             def fn_with_device_key(key, *rest):
@@ -485,6 +495,19 @@ def _fast_programs_batched_cached(
                 return inner(key, *rest)
 
             fn = fn_with_device_key
+        if kind == "warmup_mono" and pooled:
+            inner_m = fn
+
+            def fn_mono_wf_axis(key, Q, metric, da, wf, eps_run, start_i, n_steps):
+                # local view of the per-device shared Welford: (1, ...) -> (...)
+                wf_local = jax.tree_util.tree_map(lambda x: x[0], wf)
+                Q2, metric2, da2, wf2, eps2, tot = inner_m(
+                    key, Q, metric, da, wf_local, eps_run, start_i, n_steps
+                )
+                wf2 = jax.tree_util.tree_map(lambda x: x[None], wf2)
+                return Q2, metric2, da2, wf2, eps2, tot
+
+            fn = fn_mono_wf_axis
         if kind == "stage" and pooled:
             inner2 = fn
 
@@ -513,7 +536,7 @@ def _fast_programs_batched_cached(
         schedule,
         wrap,
         sample_chunk=sample_chunk,
-        mesh_axis=None,
+        mesh_axis=CHAIN_AXIS if (pooled and mesh is not None) else None,
         wf_leading=mesh.devices.size if (pooled and mesh is not None) else 0,
         wavefront=wavefront,
         monolithic=monolithic,
