@@ -58,14 +58,27 @@ def _stages(metric_kind: str, warm: bool):
     )
 
 
+def _model(dim: int, fused: bool):
+    """BENCH_MODEL: 'gaussian' (default; BASELINE configs 1/2/5) or
+    'logreg' (BASELINE config 3: n_obs=1000 synthetic logistic regression,
+    AD gradient through the likelihood matmul)."""
+    name = os.environ.get("BENCH_MODEL", "gaussian")
+    if name == "logreg":
+        from dynamichmc_tpu.models import logistic_regression
+
+        return logistic_regression(n_obs=1000, dim=dim, dtype=jnp.float32)
+    from dynamichmc_tpu.models import correlated_gaussian
+
+    return correlated_gaussian(dim, dtype=jnp.float32, fused=fused)
+
+
 def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
             fused: bool):
-    from dynamichmc_tpu.models import correlated_gaussian
     from dynamichmc_tpu.parallel import run_chains
 
     driver = "wavefront" if int(os.environ.get("BENCH_WAVEFRONT", "0")) else "sync"
     stratify = int(os.environ.get("BENCH_STRATIFY", "0"))
-    ld = correlated_gaussian(dim, dtype=jnp.float32, fused=fused)
+    ld = _model(dim, fused)
     # warm-up compile run (not timed): same schedule => same cached programs
     if int(os.environ.get("BENCH_WARM", "1")):
         # SAME n_samples: the chunk-assembly program's shapes are static in
@@ -109,14 +122,13 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
 def run_cpu_baseline(dim: int, n_samples: int, metric_kind: str):
     """Single chain of the same sampler on one CPU core: the proxy for
     single-core DynamicHMC.jl (the reference publishes no numbers)."""
-    from dynamichmc_tpu.models import correlated_gaussian
     from dynamichmc_tpu.parallel import run_chains
     from dynamichmc_tpu.stepsize import InitialStepsizeSearch
     from dynamichmc_tpu.warmup import TuningNUTS
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        ld = correlated_gaussian(dim, dtype=jnp.float32)
+        ld = _model(dim, False)
         run_chains(
             jax.random.PRNGKey(9), ld, 1, 8,
             warmup_stages=_stages(metric_kind, warm=True), dtype=jnp.float32,
@@ -175,8 +187,15 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "min_pooled_bulk_ESS_per_sec_100d_corr_gaussian_"
-                f"{n_chains}chains_{metric_kind}metric",
+                "metric": (
+                    "min_pooled_bulk_ESS_per_sec_"
+                    + (
+                        f"logreg{dim}d_"
+                        if os.environ.get("BENCH_MODEL") == "logreg"
+                        else f"{dim}d_corr_gaussian_"
+                    )
+                    + f"{n_chains}chains_{metric_kind}metric"
+                ),
                 "value": round(ess_min_rate, 3),
                 "unit": "ESS/s",
                 "vs_baseline": round(

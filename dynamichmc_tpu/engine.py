@@ -588,14 +588,33 @@ def execute(
         totals = []
         per_step_max = 0.0
         start = 0
+        retries = 0
         while start < total:
             step_count = min(chunk, total - start)
             t0 = _time.perf_counter()
-            Q, metric, da, wf, eps_run, t = programs.warmup_mono(
-                warm_key, Q, metric, da, wf, eps_run,
-                jnp.int32(start), jnp.int32(step_count),
-            )
-            jax.block_until_ready(t["acc_sum"])
+            try:
+                Q_n, metric_n, da_n, wf_n, eps_n, t = programs.warmup_mono(
+                    warm_key, Q, metric, da, wf, eps_run,
+                    jnp.int32(start), jnp.int32(step_count),
+                )
+                jax.block_until_ready(t["acc_sum"])
+            except jax.errors.JaxRuntimeError as e:
+                # TPU watchdog kills executions that run too long; the
+                # dispatch inputs are committed buffers, so back off, halve
+                # the chunk, and redispatch the SAME step range (step keys
+                # fold the global index — bitwise identical results)
+                if retries >= 3 or "UNAVAILABLE" not in str(e):
+                    raise
+                retries += 1
+                chunk = max(1, step_count // 2)
+                if log is not None:
+                    log(
+                        f"warmup dispatch failed ({e!s:.80}); retry "
+                        f"{retries}/3 with chunk {chunk}"
+                    )
+                _time.sleep(20.0 * retries)
+                continue
+            Q, metric, da, wf, eps_run = Q_n, metric_n, da_n, wf_n, eps_n
             wall = _time.perf_counter() - t0
             totals.append(t)
             start += step_count
