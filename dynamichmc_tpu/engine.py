@@ -18,6 +18,7 @@ scan-based path remains for the history-inspecting ``mcmc_keep_warmup``).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -32,7 +33,11 @@ from .stepsize import (
     find_initial_stepsize,
     local_log_acceptance_ratio,
 )
-from .utils.welford import WelfordState, welford_update
+from .utils.welford import (
+    WelfordState,
+    pool_welford_over_axis,
+    welford_update,
+)
 from .warmup import TuningNUTS, WarmupStage, estimate_metric
 
 
@@ -220,21 +225,6 @@ def combine_welford_batch(w: WelfordState) -> WelfordState:
     )
 
 
-def pool_welford_over_axis(w: WelfordState, axis_name) -> WelfordState:
-    """Combine already-locally-pooled Welford states across a mesh axis."""
-    grand = jax.lax.pmean(w.mean, axis_name)
-    delta = w.mean - grand
-    if w.m2.ndim == 2:
-        corr = w.count * jnp.outer(delta, delta)
-    else:
-        corr = w.count * delta * delta
-    return WelfordState(
-        count=jax.lax.psum(w.count, axis_name),
-        mean=grand,
-        m2=jax.lax.psum(w.m2 + corr, axis_name),
-    )
-
-
 def make_shared_metric_update(kind: str, shrinkage: float, mesh_axis=None):
     """Batched Welford states -> ONE shared (unbatched) metric.
 
@@ -409,10 +399,7 @@ def build_programs(
     )
 
 
-import functools as _functools
-
-
-@_functools.partial(jax.jit, static_argnames=("n_samples", "axis"))
+@functools.partial(jax.jit, static_argnames=("n_samples", "axis"))
 def _assemble_pieces(pieces, perm, n_samples, axis):
     """One-dispatch assembly of sampling chunks (outer tuple) x stratified
     groups (inner tuple) of (qs, lds, stats): concat groups on the chain
@@ -805,12 +792,13 @@ def execute(
         n_chunks = -(-n_samples // chunk)
         pieces = []
         Q_parts = [None] * G
+        group_keys = [jax.random.fold_in(sample_key, g + 1) for g in range(G)]
         t_sample = _time.perf_counter()
         for c in range(n_chunks):
             group_out = []
             for g in range(G):
                 sl = slice(g * Cg, (g + 1) * Cg)
-                key_g = jax.random.fold_in(sample_key, g + 1)
+                key_g = group_keys[g]
                 Qg = Q_parts[g] if Q_parts[g] is not None else jax.tree_util.tree_map(
                     lambda x: x[sl], Q_s
                 )
@@ -997,9 +985,8 @@ def make_stage_driver_batched(
             return wf
 
     def stage(key, Q: EvaluatedPoint, metric: Metric, da_state, welford, start_i, n_steps):
-        c = Q.q.shape[0]
+        c, k = Q.q.shape
         dtype = Q.q.dtype
-        c_dim, k_dim = Q.q.shape
 
         def cond(carry):
             return carry["i"] < start_i + n_steps
@@ -1032,9 +1019,7 @@ def make_stage_driver_batched(
             {
                 "i": jnp.asarray(start_i, jnp.int32),
                 "Q": Q,
-                "scratch": make_tree_scratch(
-                    algorithm, metric, c_dim, k_dim, dtype
-                ),
+                "scratch": make_tree_scratch(algorithm, metric, c, k, dtype),
                 "da": da_state,
                 "wf": welford,
                 "acc_sum": jnp.zeros((c,), dtype),

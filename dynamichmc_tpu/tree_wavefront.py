@@ -57,21 +57,12 @@ from .nuts import NUTS
 from .tree_batched import (
     _Edge,
     _leapfrog_b,
+    _where_edge,
     make_tau_ops,
     psharp_b,
     rand_p_b,
 )
 from .utils.welford import WelfordState
-
-
-def _where_edge(c, a: _Edge, b: _Edge) -> _Edge:
-    cc = c[:, None]
-    return _Edge(
-        q=jnp.where(cc, a.q, b.q),
-        p=jnp.where(cc, a.p, b.p),
-        grad=jnp.where(cc, a.grad, b.grad),
-        ld=jnp.where(c, a.ld, b.ld),
-    )
 
 
 def _trailing_ones(g):

@@ -57,3 +57,23 @@ def welford_covariance(state: WelfordState) -> jnp.ndarray:
     """Sample covariance (ddof=1), matching ``cov`` at mcmc.jl:211; symmetrized."""
     cov = state.m2 / jnp.maximum(state.count - 1, 1)
     return (cov + cov.T) / 2
+
+
+def pool_welford_over_axis(w: WelfordState, axis_name) -> WelfordState:
+    """Chan-combine Welford states across a named mesh/vmap axis into the
+    moments of the union of all members' draws (equal counts per member).
+    Used both for per-chain states under a chain axis and per-device
+    locally-pooled states under a device mesh."""
+    import jax
+
+    grand = jax.lax.pmean(w.mean, axis_name)
+    delta = w.mean - grand
+    if w.m2.ndim == 2:
+        corr = w.count * jnp.outer(delta, delta)
+    else:
+        corr = w.count * delta * delta
+    return WelfordState(
+        count=jax.lax.psum(w.count, axis_name),
+        mean=grand,
+        m2=jax.lax.psum(w.m2 + corr, axis_name),
+    )

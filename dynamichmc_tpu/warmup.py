@@ -43,6 +43,7 @@ from .stepsize import (
 from .utils.pytree import pytree_dataclass
 from .utils.welford import (
     WelfordState,
+    pool_welford_over_axis,
     welford_covariance,
     welford_init,
     welford_update,
@@ -193,18 +194,8 @@ def initialize_warmup_state(
 # --- metric estimation ----------------------------------------------------------
 
 
-def _pool_welford(w: WelfordState, chain_axis: str) -> WelfordState:
-    """Combine per-chain Welford moments over a named axis into the pooled
-    moments of the union of all chains' draws (equal counts per chain)."""
-    grand_mean = jax.lax.pmean(w.mean, chain_axis)
-    delta = w.mean - grand_mean
-    if w.m2.ndim == 2:
-        corr = w.count * jnp.outer(delta, delta)
-    else:
-        corr = w.count * delta * delta
-    n_chains = jax.lax.psum(jnp.ones_like(w.count), chain_axis)
-    m2 = jax.lax.pmean(w.m2 + corr, chain_axis) * n_chains
-    return WelfordState(count=w.count * n_chains, mean=grand_mean, m2=m2)
+# (the named-axis Welford combine lives in utils.welford and is shared with
+# the engine's per-device mesh pooling)
 
 
 def estimate_metric(
@@ -213,7 +204,7 @@ def estimate_metric(
     """Re-estimate the kinetic energy from accumulated moments
     (sample_M^-1 + regularize_M^-1, mcmc.jl:209-223)."""
     if chain_axis is not None:
-        welford = _pool_welford(welford, chain_axis)
+        welford = pool_welford_over_axis(welford, chain_axis)
     if kind == "diagonal":
         return diagonal_metric(welford_variance(welford))
     if kind == "dense":
