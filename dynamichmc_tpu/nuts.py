@@ -320,11 +320,16 @@ def sample_tree(
     p: Optional[jnp.ndarray] = None,
     directions: Optional[jnp.ndarray] = None,
     fast: bool = True,
+    noise=None,
 ):
     """One NUTS transition (NUTS.jl:232-241): draw momentum and direction
     bits, build the trajectory tree, return (new evaluated position, stats).
 
-    ``p`` and ``directions`` are injectable for deterministic tests.
+    ``p`` and ``directions`` are injectable for deterministic tests; ``noise``
+    (a :class:`~dynamichmc_tpu.tree.TreeNoise`, fast driver only) additionally
+    injects the per-leaf Gumbel and per-doubling Exponential draws, making the
+    whole transition deterministic — the exact-equivalence gates pin the
+    batch-native and wavefront drivers against this path.
     ``fast=True`` uses the multinomial Gumbel-argmax driver (identical
     proposal distribution, ~3x less merge-stack HBM traffic); ``fast=False``
     uses the generic progressive-merge driver (the semantics oracle).
@@ -342,10 +347,13 @@ def sample_tree(
         # custom turn statistics run through the generic driver
         fast = False
 
+    if noise is not None and not fast:
+        raise ValueError("noise injection requires the fast driver")
+
     if fast:
         ops = make_fast_trajectory_ops(ld, metric, pi0, eps, min_delta)
         result = sample_trajectory_fast(
-            ops, k_tree, z, algorithm.max_depth, directions
+            ops, k_tree, z, algorithm.max_depth, directions, noise
         )
         payload = result.zeta
         Q_new = EvaluatedPoint(

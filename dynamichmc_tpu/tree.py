@@ -54,6 +54,43 @@ MAX_DIRECTIONS_DEPTH = 32
 """Direction bits per transition; one uint32 draw (trees.jl:10,19-23)."""
 
 
+class TreeNoise(NamedTuple):
+    """Injectable randomness for exact cross-driver equivalence gates.
+
+    The production drivers draw two kinds of randomness inside the tree loop:
+    a per-leaf Gumbel (the running-argmax multinomial proposal) and a
+    per-doubling Exponential (the biased progressive accept). Injecting both
+    makes a transition fully deterministic given (p, directions), so the
+    batch-native and wavefront drivers can be pinned EXACTLY (not just
+    distributionally) against the per-chain fast driver — which is itself
+    pinned to the generic oracle that carries the detailed-balance proof
+    (tests/test_trees.py; cf. /root/reference/test/test_trees.jl:171-262).
+
+    gumbel : (max_depth, 2**(max_depth-1), ...) indexed [doubling, leaf]
+    expo   : (max_depth, ...) indexed [doubling]
+
+    Trailing dims: none for the per-chain driver, (C,) for the batched ones.
+    ``None`` (the default everywhere) keeps the production RNG stream and
+    adds zero ops to the traced program.
+    """
+
+    gumbel: jnp.ndarray
+    expo: jnp.ndarray
+
+
+def make_tree_noise(rng, max_depth: int, n_transitions: int, C: int = 0,
+                    dtype=jnp.float64):
+    """Draw a (T, ...) stack of TreeNoise from a numpy RandomState; helper for
+    the equivalence tests (per-chain when C == 0, batched otherwise)."""
+    L = 1 << (max_depth - 1)
+    shape_tail = () if C == 0 else (C,)
+    g = rng.gumbel(size=(n_transitions, max_depth, L) + shape_tail)
+    e = rng.exponential(size=(n_transitions, max_depth) + shape_tail)
+    return TreeNoise(
+        gumbel=jnp.asarray(g, dtype), expo=jnp.asarray(e, dtype)
+    )
+
+
 def next_direction(flags: jnp.ndarray):
     """Pop the next doubling direction bit (trees.jl:31-34)."""
     flags = flags.astype(jnp.uint32)
@@ -437,11 +474,13 @@ class FastTrajectoryOps:
 
 
 def _adjacent_tree_fast(
-    ops: FastTrajectoryOps, key, z, i, depth, is_forward, max_depth: int
+    ops: FastTrajectoryOps, key, z, i, depth, is_forward, max_depth: int,
+    noise: TreeNoise | None = None,
 ):
     """Adjacent tree with tau-only merge stack and running Gumbel-argmax
     proposal selection. Same traversal, early-exit and turn-check points as
-    ``_adjacent_tree``."""
+    ``_adjacent_tree``. ``noise`` (tests only) replaces the per-leaf Gumbel
+    with ``noise.gumbel[depth, n]``."""
     delta_t, tau_t, _, v_t, payload_t = ops.leaf(z, False)
     # merge levels reach at most depth <= max_depth - 1, and the completed
     # tree is stored at slot == depth, so max_depth slots suffice.
@@ -488,9 +527,11 @@ def _adjacent_tree_fast(
         v = ops.combine_visited(carry["v"], v_l)
 
         # running multinomial draw over non-divergent leaves
-        score = jnp.where(
-            divergent, neg_inf, delta + jax.random.gumbel(kleaf, (), delta.dtype)
-        )
+        if noise is None:
+            g = jax.random.gumbel(kleaf, (), delta.dtype)
+        else:
+            g = noise.gumbel[depth, carry["n"]].astype(delta.dtype)
+        score = jnp.where(divergent, neg_inf, delta + g)
         take = score > carry["best_score"]
         best_score = jnp.where(take, score, carry["best_score"])
         best_payload = tree_where(take, payload, carry["best_payload"])
@@ -543,11 +584,13 @@ def _adjacent_tree_fast(
 
 
 def sample_trajectory_fast(
-    ops: FastTrajectoryOps, key, z, max_depth: int, directions
+    ops: FastTrajectoryOps, key, z, max_depth: int, directions,
+    noise: TreeNoise | None = None,
 ) -> TrajectoryResult:
     """Doubling driver over the fast adjacent tree. Semantics identical to
     :func:`sample_trajectory` for multinomial-within / biased-at-doubling
-    proposal sampling (the NUTS configuration)."""
+    proposal sampling (the NUTS configuration). ``noise`` (tests only) makes
+    the transition fully deterministic — see :class:`TreeNoise`."""
     if not 0 < max_depth <= MAX_DIRECTIONS_DEPTH:
         raise ValueError(f"max_depth must be in 1..{MAX_DIRECTIONS_DEPTH}")
 
@@ -563,7 +606,8 @@ def sample_trajectory_fast(
         i_edge = jnp.where(is_forward, carry["i_plus"], carry["i_minus"])
 
         adj = _adjacent_tree_fast(
-            ops, kadj, z_edge, i_edge, carry["depth"], is_forward, max_depth
+            ops, kadj, z_edge, i_edge, carry["depth"], is_forward, max_depth,
+            noise,
         )
         v = ops.combine_visited(carry["v"], adj["v"])
         valid = adj["valid"]
@@ -577,7 +621,11 @@ def sample_trajectory_fast(
         # biased progressive combine at the doubling (trees.jl:159-161):
         # accept the new subtree's proposal with prob exp(w_new - w_old)
         lp2 = adj["omega"] - carry["omega"]
-        accept = (lp2 >= 0) | (jax.random.exponential(kdouble) > -lp2)
+        if noise is None:
+            e_dbl = jax.random.exponential(kdouble)
+        else:
+            e_dbl = noise.expo[carry["depth"]].astype(lp2.dtype)
+        accept = (lp2 >= 0) | (e_dbl > -lp2)
         payload = tree_where(valid & accept, adj["best_payload"], carry["payload"])
         omega = jnp.where(valid, jnp.logaddexp(carry["omega"], adj["omega"]),
                           carry["omega"])

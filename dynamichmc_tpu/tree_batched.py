@@ -230,6 +230,118 @@ def make_tau_ops(metric: Metric) -> TauOps:
     )
 
 
+def _merge_pending(n, stack, node, combine_dir, is_fwd, i_edge, step,
+                   start_level, turned, turn_left):
+    """Trailing-ones merge run of the batch-native driver: merge ``node``
+    (the just-built leaf/subtree statistic) with the pending subtree at every
+    trailing one-bit level of the scalar leaf counter ``n``, freezing a lane's
+    node once it turned, then park the result at its (scalar) slot with an
+    in-place dynamic update. SHARED between the production driver and the
+    dummy-trajectory detailed-balance shim (tests/dummy_batched.py) so the
+    enumeration proof exercises this exact merge logic."""
+
+    def mcond(mc):
+        _node, level, _turned, _tl = mc
+        return ((n >> level) & jnp.int32(1)) == jnp.int32(1)
+
+    def mbody(mc):
+        node, level, turned, tl = mc
+        popped = tuple(
+            jax.lax.dynamic_index_in_dim(s, level, 0, keepdims=False)
+            for s in stack
+        )
+        merged, turning = combine_dir(popped, node, is_fwd)
+        first_new_turn = turning & ~turned
+        a = n - (jnp.int32(1) << (level + 1)) + jnp.int32(1)
+        tl = jnp.where(
+            first_new_turn, i_edge + step * (a + jnp.int32(1)), tl
+        )
+        # freeze a lane's node once it turned (its tree is discarded)
+        node = tuple(
+            jnp.where(turned[:, None], old, new)
+            for old, new in zip(node, merged)
+        )
+        return (node, level + jnp.int32(1), turned | turning, tl)
+
+    node, level, turned, turn_left = jax.lax.while_loop(
+        mcond, mbody, (node, start_level, turned, turn_left)
+    )
+    # store the merged subtree at its (scalar) slot: in-place DUS
+    stack = tuple(
+        jax.lax.dynamic_update_index_in_dim(s, v, level, 0)
+        for s, v in zip(stack, node)
+    )
+    return node, level, turned, turn_left, stack
+
+
+def _doubling_bookkeeping(c, adj, engaged, is_fwd, combine_dir):
+    """Everything in one doubling step EXCEPT proposal selection: validity,
+    visited-statistic accumulation, edge updates, the merged-tree turn check,
+    depth, and InvalidTree-style termination positions. SHARED between the
+    production driver and the detailed-balance shim (tests/dummy_batched.py).
+
+    Returns the updated carry fields as a dict (the caller merges in its
+    proposal fields and loop counters)."""
+    tree_done = adj["building"]  # lanes whose adjacent tree completed
+    valid = engaged & tree_done
+    invalid = engaged & ~tree_done
+
+    log_sum = jnp.logaddexp(c["log_sum"], adj["log_sum"])
+    steps = c["steps"] + adj["steps"]
+    # straggler instrumentation: leaf SLOTS the whole batch paid for this
+    # doubling (the adjacent loop runs while ANY lane builds) — adj["n"]
+    # is its executed iteration count
+    work = c["work"] + adj["n"]
+
+    fwd_valid = valid & is_fwd
+    bwd_valid = valid & ~is_fwd
+    z_plus = _where_edge(fwd_valid, adj["z"], c["z_plus"])
+    i_plus = jnp.where(fwd_valid, adj["i_end"], c["i_plus"])
+    z_minus = _where_edge(bwd_valid, adj["z"], c["z_minus"])
+    i_minus = jnp.where(bwd_valid, adj["i_end"], c["i_minus"])
+
+    omega = jnp.where(valid, jnp.logaddexp(c["omega"], adj["omega"]), c["omega"])
+
+    tau_c, turning = combine_dir(c["tau"], adj["tau_tree"], is_fwd)
+    turning = valid & turning
+    keep = (valid & ~turning)[:, None]
+    tau = tuple(
+        jnp.where(keep, new, old) for old, new in zip(c["tau"], tau_c)
+    )
+    depth = c["depth"] + valid.astype(jnp.int32)
+
+    newly_term = invalid | turning
+    term_left = jnp.where(
+        invalid,
+        adj["inv_left"],
+        jnp.where(turning, i_minus, c["term_left"]),
+    )
+    term_left = jnp.where(newly_term, term_left, c["term_left"])
+    term_right = jnp.where(
+        invalid,
+        adj["inv_right"],
+        jnp.where(turning, i_plus, c["term_right"]),
+    )
+    term_right = jnp.where(newly_term, term_right, c["term_right"])
+
+    return {
+        "valid": valid,
+        "z_minus": z_minus,
+        "z_plus": z_plus,
+        "i_minus": i_minus,
+        "i_plus": i_plus,
+        "omega": omega,
+        "tau": tau,
+        "log_sum": log_sum,
+        "steps": steps,
+        "work": work,
+        "depth": depth,
+        "terminated": c["terminated"] | newly_term,
+        "term_left": term_left,
+        "term_right": term_right,
+    }
+
+
 def make_tree_scratch(algorithm: NUTS, metric: Metric, C: int, K: int, dtype):
     """Allocate the merge-stack scratch for :func:`sample_tree_batched`.
 
@@ -251,6 +363,8 @@ def sample_tree_batched(
     eps,  # (C,) or scalar
     directions: Optional[jnp.ndarray] = None,  # (C,) uint32
     scratch=None,  # make_tree_scratch buffer, threaded through driver carries
+    p: Optional[jnp.ndarray] = None,  # (C, K) injectable momenta (tests)
+    noise=None,  # tree.TreeNoise with (C,)-tailed arrays (tests)
 ):
     """One NUTS transition for a whole chain batch. Returns (Q', stats), or
     (Q', stats, scratch') when ``scratch`` is given (thread scratch' back
@@ -272,7 +386,7 @@ def sample_tree_batched(
     S = max_depth  # merge-stack slots (levels 0..max_depth-1)
 
     k_p, k_dir, k_tree = jax.random.split(key, 3)
-    p0 = rand_p_b(k_p, metric, (C, K), dtype)
+    p0 = rand_p_b(k_p, metric, (C, K), dtype) if p is None else jnp.asarray(p, dtype)
     if directions is None:
         directions = jax.random.bits(k_dir, (C,), jnp.uint32)
     eps = jnp.broadcast_to(jnp.asarray(eps, dtype), (C,))
@@ -337,7 +451,10 @@ def sample_tree_batched(
 
             # running multinomial proposal draw
             if "best" not in _ablate:
-                g = jax.random.gumbel(kleaf, (C,), dtype)
+                if noise is None:
+                    g = jax.random.gumbel(kleaf, (C,), dtype)
+                else:
+                    g = noise.gumbel[d, c["n"]].astype(dtype)
                 score = jnp.where(divergent | ~live, neg_inf, delta + g)
                 take = score > c["best_score"]
                 best_score = jnp.where(take, score, c["best_score"])
@@ -359,29 +476,6 @@ def sample_tree_batched(
             turned = jnp.zeros((C,), bool)
             turn_left = jnp.zeros((C,), jnp.int32)
 
-            def mcond(mc):
-                _node, level, _turned, _tl = mc
-                return ((c["n"] >> level) & jnp.int32(1)) == jnp.int32(1)
-
-            def mbody(mc):
-                node, level, turned, tl = mc
-                popped = tuple(
-                    jax.lax.dynamic_index_in_dim(s, level, 0, keepdims=False)
-                    for s in c["stack"]
-                )
-                merged, turning = combine_dir(popped, node, is_fwd)
-                first_new_turn = turning & ~turned
-                a = c["n"] - (jnp.int32(1) << (level + 1)) + jnp.int32(1)
-                tl = jnp.where(
-                    first_new_turn, i_edge + step * (a + jnp.int32(1)), tl
-                )
-                # freeze a lane's node once it turned (its tree is discarded)
-                node = tuple(
-                    jnp.where(turned[:, None], old, new)
-                    for old, new in zip(node, merged)
-                )
-                return (node, level + jnp.int32(1), turned | turning, tl)
-
             if "merge" in _ablate or merge_mode == "none":
                 level = jnp.int32(0)
                 stack = tuple(
@@ -400,13 +494,9 @@ def sample_tree_batched(
                     start_level = jnp.int32(1)
                 else:
                     start_level = jnp.int32(0)
-                node, level, turned, turn_left = jax.lax.while_loop(
-                    mcond, mbody, (node, start_level, turned, turn_left)
-                )
-                # store the merged subtree at its (scalar) slot: in-place DUS
-                stack = tuple(
-                    jax.lax.dynamic_update_index_in_dim(s, v, level, 0)
-                    for s, v in zip(c["stack"], node)
+                node, level, turned, turn_left, stack = _merge_pending(
+                    c["n"], c["stack"], node, combine_dir, is_fwd, i_edge,
+                    step, start_level, turned, turn_left,
                 )
 
             invalid = live & (divergent | turned)
@@ -475,79 +565,33 @@ def sample_tree_batched(
         i_edge = jnp.where(is_fwd, c["i_plus"], c["i_minus"])
 
         adj = adjacent(kadj, c["d"], z_edge, i_edge, is_fwd, engaged, c["stack"])
-        tree_done = adj["building"]  # lanes whose adjacent tree completed
-        valid = engaged & tree_done
-        invalid = engaged & ~tree_done
+        upd = _doubling_bookkeeping(c, adj, engaged, is_fwd, combine_dir)
+        valid = upd.pop("valid")
 
-        log_sum = jnp.logaddexp(c["log_sum"], adj["log_sum"])
-        steps = c["steps"] + adj["steps"]
-        # straggler instrumentation: leaf SLOTS the whole batch paid for this
-        # doubling (the adjacent loop runs while ANY lane builds) — adj["n"]
-        # is its executed iteration count
-        work = c["work"] + adj["n"]
-
-        fwd_valid = valid & is_fwd
-        bwd_valid = valid & ~is_fwd
-        z_plus = _where_edge(fwd_valid, adj["z"], c["z_plus"])
-        i_plus = jnp.where(fwd_valid, adj["i_end"], c["i_plus"])
-        z_minus = _where_edge(bwd_valid, adj["z"], c["z_minus"])
-        i_minus = jnp.where(bwd_valid, adj["i_end"], c["i_minus"])
-
-        # biased doubling combine
+        # biased doubling combine (proposal selection stays driver-specific:
+        # the detailed-balance shim replaces it with exact probability
+        # vectors; everything in `upd` above is the shared logic)
         lp2 = adj["omega"] - c["omega"]
-        accept = (lp2 >= 0) | (
-            jax.random.exponential(kdbl, (C,), dtype) > -lp2
-        )
+        if noise is None:
+            e_dbl = jax.random.exponential(kdbl, (C,), dtype)
+        else:
+            e_dbl = noise.expo[c["d"]].astype(dtype)
+        accept = (lp2 >= 0) | (e_dbl > -lp2)
         take = (valid & accept)[:, None]
         prop_q = jnp.where(take, adj["best_q"], c["prop_q"])
         prop_ld = jnp.where(valid & accept, adj["best_ld"], c["prop_ld"])
         prop_grad = jnp.where(take, adj["best_grad"], c["prop_grad"])
         prop_pi = jnp.where(valid & accept, adj["best_pi"], c["prop_pi"])
-        omega = jnp.where(valid, jnp.logaddexp(c["omega"], adj["omega"]), c["omega"])
-
-        tau_c, turning = combine_dir(c["tau"], adj["tau_tree"], is_fwd)
-        turning = valid & turning
-        keep = (valid & ~turning)[:, None]
-        tau = tuple(
-            jnp.where(keep, new, old) for old, new in zip(c["tau"], tau_c)
-        )
-        depth = c["depth"] + valid.astype(jnp.int32)
-
-        newly_term = invalid | turning
-        term_left = jnp.where(
-            invalid,
-            adj["inv_left"],
-            jnp.where(turning, i_minus, c["term_left"]),
-        )
-        term_left = jnp.where(newly_term, term_left, c["term_left"])
-        term_right = jnp.where(
-            invalid,
-            adj["inv_right"],
-            jnp.where(turning, i_plus, c["term_right"]),
-        )
-        term_right = jnp.where(newly_term, term_right, c["term_right"])
 
         return {
             "d": c["d"] + jnp.int32(1),
             "dirs": c["dirs"],
             "stack": adj["stack"],
-            "z_minus": z_minus,
-            "z_plus": z_plus,
-            "i_minus": i_minus,
-            "i_plus": i_plus,
             "prop_q": prop_q,
             "prop_ld": prop_ld,
             "prop_grad": prop_grad,
             "prop_pi": prop_pi,
-            "omega": omega,
-            "tau": tau,
-            "log_sum": log_sum,
-            "steps": steps,
-            "work": work,
-            "depth": depth,
-            "terminated": c["terminated"] | newly_term,
-            "term_left": term_left,
-            "term_right": term_right,
+            **upd,
         }
 
     init = {

@@ -65,6 +65,26 @@ from .tree_batched import (
 from .utils.welford import WelfordState
 
 
+class WavefrontNoise(NamedTuple):
+    """Injectable randomness for the wavefront exact-equivalence gate
+    (tests only; ``None`` keeps the production RNG stream and adds zero ops).
+
+    Indexed by each lane's OWN counters — transition t, doubling d, leaf
+    n = g - tree_g0 — so a wavefront run can be pinned exactly against the
+    synchronized drivers fed the same per-transition draws:
+
+    p      : (T, C, K)  momentum at the restart of transition t
+    dirs   : (T, C)     direction bits of transition t
+    gumbel : (T, max_depth, 2**(max_depth-1), C)
+    expo   : (T, max_depth, C)
+    """
+
+    p: jnp.ndarray
+    dirs: jnp.ndarray
+    gumbel: jnp.ndarray
+    expo: jnp.ndarray
+
+
 def _trailing_ones(g):
     """Number of trailing one-bits of a scalar int32 (0 for even g)."""
     x = jnp.asarray(g, jnp.uint32)
@@ -184,6 +204,7 @@ def make_wavefront_stage_driver(
     use_welford: bool = True,
     pooled_eps: bool = False,
     epoch: int = 16,
+    noise: WavefrontNoise | None = None,
 ):
     """Resumable wavefront tuning-stage program.
 
@@ -243,10 +264,19 @@ def make_wavefront_stage_driver(
 
             # --- A: restarts — begin a fresh transition at the current Q ---
             restart = c["need_restart"] & lane_live
-            p0 = rand_p_b(k_norm, metric, (C, K), dtype)
+            if noise is None:
+                p0 = rand_p_b(k_norm, metric, (C, K), dtype)
+                dirs_new = jax.random.bits(k_dir, (C,), jnp.uint32)
+            else:
+                lane = jnp.arange(C)
+                p0 = jax.vmap(lambda t, i: noise.p[t, i])(
+                    c["t"], lane
+                ).astype(dtype)
+                dirs_new = jax.vmap(lambda t, i: noise.dirs[t, i])(
+                    c["t"], lane
+                )
             pi0_new, sp0 = pi_and_psharp(c["Q"].logdensity, p0)
             sp0 = p0 if sp0 is None else sp0
-            dirs_new = jax.random.bits(k_dir, (C,), jnp.uint32)
             eps_new = adaptation.current(c["da"])
 
             r = restart
@@ -305,7 +335,13 @@ def make_wavefront_stage_driver(
             lsum_adj = jnp.logaddexp(lsum_adj, v_log)
             steps_adj = steps_adj + building.astype(jnp.int32)
 
-            gum = jax.random.gumbel(k_gum, (C,), dtype)
+            if noise is None:
+                gum = jax.random.gumbel(k_gum, (C,), dtype)
+            else:
+                lane = jnp.arange(C)
+                gum = jax.vmap(
+                    lambda t, dd, nn, i: noise.gumbel[t, dd, nn, i]
+                )(c["t"], d, g - tree_g0, lane).astype(dtype)
             score = jnp.where(divergent | ~building, neg_inf, delta + gum)
             take = score > best_score
             tk = take[:, None]
@@ -379,9 +415,14 @@ def make_wavefront_stage_driver(
             z_minus = _where_edge(bwd_done, z_new, z_minus)
 
             lp2 = omega_adj - omega
-            accept = (lp2 >= 0) | (
-                jax.random.exponential(k_exp, (C,), dtype) > -lp2
-            )
+            if noise is None:
+                e_dbl = jax.random.exponential(k_exp, (C,), dtype)
+            else:
+                lane = jnp.arange(C)
+                e_dbl = jax.vmap(lambda t, dd, i: noise.expo[t, dd, i])(
+                    c["t"], d, lane
+                ).astype(dtype)
+            accept = (lp2 >= 0) | (e_dbl > -lp2)
             take2 = (tree_done & accept)[:, None]
             prop_q = jnp.where(take2, best_q, prop_q)
             prop_ld = jnp.where(tree_done & accept, best_ld, prop_ld)
