@@ -20,8 +20,16 @@ import jax
 
 # Persistent XLA compilation cache: every fresh process otherwise pays the
 # full program compiles (minutes for the monolithic warmup through the
-# tunneled chip); cached binaries cut reruns to seconds.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# tunneled chip); cached binaries cut reruns to seconds. The directory is
+# keyed by a host-CPU fingerprint — a shared /tmp cache reused across
+# heterogeneous hosts loads CPU AOT binaries compiled for other machines'
+# feature sets (XLA: "could lead to execution errors such as SIGILL").
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from dynamichmc_tpu.utils.cache import host_keyed_cache_dir  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", host_keyed_cache_dir("/tmp/jax_cache")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time as _time
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -26,7 +27,7 @@ import jax.numpy as jnp
 
 from .hamiltonian import EvaluatedPoint, PhasePoint
 from .logdensity import LogDensity
-from .metric import Metric, rand_p
+from .metric import DiagonalMetric, Metric, rand_p
 from .nuts import NUTS, sample_tree
 from .stepsize import (
     InitialStepsizeSearch,
@@ -464,6 +465,46 @@ def _tree_sum(parts):
     return jax.tree_util.tree_map(lambda *xs: sum(xs), *parts)
 
 
+_RETRY_SLEEP_SECONDS = 20.0  # backoff base; monkeypatched to 0 in tests
+
+
+def _retry_dispatch(run, log=None, what="dispatch", on_retry=None):
+    """Run one device dispatch with watchdog-kill resilience.
+
+    The TPU runtime kills single-device executions that exceed ~1 minute
+    ("UNAVAILABLE: TPU worker crashed / kernel fault"); dispatch inputs are
+    committed buffers and every step key folds a global index, so
+    re-dispatching the same range is bitwise identical. 3 retries PER
+    dispatch (the budget resets with each success by construction — a fresh
+    counter per call). ``on_retry(attempt)`` lets callers shrink their
+    chunk/budget before the redispatch. Mirrors the reference's fail-with-
+    context philosophy (/root/reference/src/utilities.jl:17-38) applied to
+    the one genuinely transient failure mode of this runtime.
+    """
+    retries = 0
+    while True:
+        try:
+            return run()
+        except jax.errors.JaxRuntimeError as e:
+            if retries >= 3 or "UNAVAILABLE" not in str(e):
+                raise
+            retries += 1
+            if on_retry is not None:
+                on_retry(retries)
+            if log is not None:
+                log(f"{what} failed ({e!s:.80}); retry {retries}/3")
+            _time.sleep(_RETRY_SLEEP_SECONDS * retries)
+
+
+def metric_is_batched(metric: Metric) -> bool:
+    """Per-chain (leading chain axis) vs shared metric, decided by array RANK
+    — never by size, so a shared metric whose dimension K happens to equal
+    the chain count can never be misclassified (and silently permuted) by
+    the stratified-sampling path."""
+    m = metric.m_inv
+    return m.ndim == (2 if isinstance(metric, DiagonalMetric) else 3)
+
+
 def execute(
     programs: FastPrograms,
     schedule: WarmupSchedule,
@@ -575,32 +616,31 @@ def execute(
         totals = []
         per_step_max = 0.0
         start = 0
-        retries = 0
         while start < total:
-            step_count = min(chunk, total - start)
+            # a retry halves the chunk and redispatches the SAME step range
+            # (step keys fold the global index — bitwise identical results);
+            # recompute step_count inside `run` so the halved chunk applies
             t0 = _time.perf_counter()
-            try:
-                Q_n, metric_n, da_n, wf_n, eps_n, t = programs.warmup_mono(
+            step_count = min(chunk, total - start)
+
+            def run_mono():
+                nonlocal step_count
+                step_count = min(chunk, total - start)
+                out = programs.warmup_mono(
                     warm_key, Q, metric, da, wf, eps_run,
                     jnp.int32(start), jnp.int32(step_count),
                 )
-                jax.block_until_ready(t["acc_sum"])
-            except jax.errors.JaxRuntimeError as e:
-                # TPU watchdog kills executions that run too long; the
-                # dispatch inputs are committed buffers, so back off, halve
-                # the chunk, and redispatch the SAME step range (step keys
-                # fold the global index — bitwise identical results)
-                if retries >= 3 or "UNAVAILABLE" not in str(e):
-                    raise
-                retries += 1
+                jax.block_until_ready(out[5]["acc_sum"])
+                return out
+
+            def halve_mono(_attempt):
+                nonlocal chunk
                 chunk = max(1, step_count // 2)
-                if log is not None:
-                    log(
-                        f"warmup dispatch failed ({e!s:.80}); retry "
-                        f"{retries}/3 with chunk {chunk}"
-                    )
-                _time.sleep(20.0 * retries)
-                continue
+
+            Q_n, metric_n, da_n, wf_n, eps_n, t = _retry_dispatch(
+                run_mono, log=log, what="warmup dispatch",
+                on_retry=halve_mono,
+            )
             Q, metric, da, wf, eps_run = Q_n, metric_n, da_n, wf_n, eps_n
             wall = _time.perf_counter() - t0
             totals.append(t)
@@ -665,11 +705,23 @@ def execute(
             g_prev = 0
             while True:
                 t0 = _time.perf_counter()
-                carry, done = wf_fn(
-                    stage_key, metric, carry, jnp.int32(n),
-                    jnp.int32(g_prev + wf_budget),
+
+                def run_wf(carry_in=carry):
+                    out = wf_fn(
+                        stage_key, metric, carry_in, jnp.int32(n),
+                        jnp.int32(g_prev + wf_budget),
+                    )
+                    jax.block_until_ready(out[1])
+                    return out
+
+                def halve_wf(_attempt):
+                    nonlocal wf_budget
+                    wf_budget = max(256, wf_budget // 2)
+
+                carry, done = _retry_dispatch(
+                    run_wf, log=log, what="wavefront dispatch",
+                    on_retry=halve_wf,
                 )
-                jax.block_until_ready(done)
                 wall = _time.perf_counter() - t0
                 g_now = int(carry["g"])
                 iters = max(g_now - g_prev, 1)
@@ -700,12 +752,27 @@ def execute(
             totals_parts = []
             start = 0
         while start < n:
-            step_count = min(chunk, n - start)
             t0 = _time.perf_counter()
-            Q, da, wf, t = stage_fn(
-                stage_key, Q, metric, da, wf, jnp.int32(start), jnp.int32(step_count)
+            step_count = min(chunk, n - start)
+
+            def run_stage(Q_in=Q, da_in=da, wf_in=wf):
+                nonlocal step_count
+                step_count = min(chunk, n - start)
+                out = stage_fn(
+                    stage_key, Q_in, metric, da_in, wf_in,
+                    jnp.int32(start), jnp.int32(step_count),
+                )
+                jax.block_until_ready(out[3]["acc_sum"])
+                return out
+
+            def halve_stage(_attempt):
+                nonlocal chunk
+                chunk = max(1, step_count // 2)
+
+            Q, da, wf, t = _retry_dispatch(
+                run_stage, log=log, what="warmup block dispatch",
+                on_retry=halve_stage,
             )
-            jax.block_until_ready(t["acc_sum"])
             wall = _time.perf_counter() - t0
             totals_parts.append(t)
             start += step_count
@@ -782,11 +849,7 @@ def execute(
         take = lambda t: jax.tree_util.tree_map(lambda x: x[perm], t)
         Q_s = take(Q)
         eps_s = eps[perm]
-        metric_s = (
-            take(metric)
-            if jax.tree_util.tree_leaves(metric)[0].shape[:1] == (C_total,)
-            else metric
-        )
+        metric_s = take(metric) if metric_is_batched(metric) else metric
         Cg = C_total // G
         chunk = programs.stratified_chunk  # baked into sample_stratified
         n_chunks = -(-n_samples // chunk)
@@ -807,8 +870,15 @@ def execute(
                     if metric_s is not metric
                     else metric
                 )
-                Qg, qs, lds, stats = programs.sample_stratified(
-                    key_g, Qg, mg, eps_s[sl], jnp.int32(c * chunk)
+                def run_group(Qg_in=Qg, mg_in=mg, key_in=key_g, g_in=g):
+                    out = programs.sample_stratified(
+                        key_in, Qg_in, mg_in, eps_s[sl], jnp.int32(c * chunk)
+                    )
+                    jax.block_until_ready(out[2])
+                    return out
+
+                Qg, qs, lds, stats = _retry_dispatch(
+                    run_group, log=log, what=f"sampling group {g} dispatch"
                 )
                 Q_parts[g] = Qg
                 group_out.append((qs, lds, stats))
@@ -835,8 +905,16 @@ def execute(
         pieces = []
         t_sample = _time.perf_counter()
         for c in range(n_chunks):
-            Q, qs, lds, stats = programs.sample(
-                sample_key, Q, metric, eps, jnp.int32(c * programs.sample_chunk)
+            def run_sample(Q_in=Q, c_in=c):
+                out = programs.sample(
+                    sample_key, Q_in, metric, eps,
+                    jnp.int32(c_in * programs.sample_chunk),
+                )
+                jax.block_until_ready(out[2])
+                return out
+
+            Q, qs, lds, stats = _retry_dispatch(
+                run_sample, log=log, what="sampling dispatch"
             )
             if draw_sink is not None:
                 draw_sink(c * programs.sample_chunk, qs, lds, stats)

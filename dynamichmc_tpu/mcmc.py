@@ -201,12 +201,14 @@ def _fast_keep_programs(ld: LogDensity, algorithm: NUTS, schedule,
 def _mcmc_keep_warmup_fast(
     run_key, ld, n_samples, initial_state, warmup_stages, schedule, algorithm,
     collect_warmup_positions: bool,
+    log=None,
 ):
     """Keep-warmup through the fast engine: one collecting tree program for
     all stages (runtime trip count + masking), dispatched in watchdog-safe
     chunks — compiles in seconds where the scan-based path inlines one tree
-    program per stage, and never exceeds the TPU single-dispatch budget."""
-    from .engine import welford_zero
+    program per stage, and never exceeds the TPU single-dispatch budget.
+    ``log`` (``stage_log(reporter)``) emits stage-boundary progress."""
+    from .engine import _retry_dispatch, welford_zero
     from .stepsize import InitialStepsizeSearch
     from .warmup import WarmupState, estimate_metric
 
@@ -238,13 +240,24 @@ def _mcmc_keep_warmup_fast(
 
     block_results = []
     for i, n in enumerate(schedule.block_sizes):
+        if log is not None:
+            log(f"warmup block {i + 1}/{len(schedule.block_sizes)} "
+                f"({n} steps)")
         stage_key = key_fold(i + 1)
         da = strong(adaptation.init(eps))
         wf = welford_zero(Q, programs.dense_welford)
         pieces = []
         for start in range(0, n, chunk):
-            Q, da, wf, ys = collect(
-                stage_key, Q, metric, da, wf, jnp.int32(start), jnp.int32(n)
+            def run_collect(Q_in=Q, da_in=da, wf_in=wf, start_in=start):
+                out = collect(
+                    stage_key, Q_in, metric, da_in, wf_in,
+                    jnp.int32(start_in), jnp.int32(n),
+                )
+                jax.block_until_ready(out[1])
+                return out
+
+            Q, da, wf, ys = _retry_dispatch(
+                run_collect, log=log, what="keep-warmup dispatch"
             )
             pieces.append(ys)
         ys = jax.tree_util.tree_map(
@@ -286,12 +299,22 @@ def _mcmc_keep_warmup_fast(
     final_state = WarmupState(Q=Q, metric=metric, eps=eps)
 
     # sampling: fixed-size chunks (same key/fold convention as engine.execute)
+    if log is not None:
+        log(f"sampling {n_samples} draws")
     sample_key = key_fold(len(schedule.block_sizes) + 1)
     n_chunks = -(-n_samples // programs.sample_chunk)
     pieces = []
     for c in range(n_chunks):
-        Q, qs, lds, stats = programs.sample(
-            sample_key, Q, metric, eps, jnp.int32(c * programs.sample_chunk)
+        def run_sample(Q_in=Q, c_in=c):
+            out = programs.sample(
+                sample_key, Q_in, metric, eps,
+                jnp.int32(c_in * programs.sample_chunk),
+            )
+            jax.block_until_ready(out[2])
+            return out
+
+        Q, qs, lds, stats = _retry_dispatch(
+            run_sample, log=log, what="keep-warmup sampling dispatch"
         )
         pieces.append((qs, lds, stats))
 
@@ -368,19 +391,32 @@ def mcmc_keep_warmup(
 
     if warmup_stages is None:
         warmup_stages = default_warmup_stages()
-    if reporter is None:
+    # A default-injected reporter (reporter=None resolving interactively to
+    # LogProgressReport) must NOT deselect the fast TPU-safe path: its
+    # wants_step_callbacks would route through the per-stage-inlined scan
+    # path (minutes of XLA compile, watchdog-unsafe). Mirror
+    # mcmc_with_warmup: default-injected reporters get stage-boundary
+    # progress via ``stage_log``; only an EXPLICITLY passed step-callback
+    # reporter selects the callback path.
+    from .reporting import stage_log
+
+    default_injected = reporter is None
+    if default_injected:
         reporter = default_reporter()  # reporting.jl:184-190 via mcmc.jl:521-532
     init_key, run_key = jax.random.split(jnp.asarray(key))
     initial_state = initialize_warmup_state(
         init_key, ld, dtype=dtype, **initialization
     )
     schedule = WarmupSchedule.from_stages(tuple(warmup_stages))
-    if schedule is not None and not reporter.wants_step_callbacks:
+    if schedule is not None and (
+        default_injected or not reporter.wants_step_callbacks
+    ):
         # fast engine with per-step history collection: TPU-safe (chunked
         # dispatches, one tree compilation for all stages)
         history, final_state, inference = _mcmc_keep_warmup_fast(
             run_key, ld, n_samples, initial_state, tuple(warmup_stages),
             schedule, algorithm, collect_warmup_positions,
+            log=stage_log(reporter),
         )
         _check_stepsize_search(history)
         return {

@@ -192,15 +192,18 @@ class PooledStepsize:
         return jnp.exp(pooled)  # geometric mean
 
     def _pmean(self, x):
-        """pmean over the mesh axis when inside the sharded program; outside
-        (host-side init sees the full global array) the axis is unbound and
-        the local value is already the global pool."""
+        """pmean over the mesh axis when inside the sharded program.
+
+        INVARIANT (kept by the program builders, parallel/chains.py): an
+        instance with ``axis_name`` set exists only inside the shard_map-
+        wrapped program bodies where that axis is bound; every host-side
+        call (init/current/final in engine.execute) goes through the
+        original unbound instance, whose local view IS the global pool. No
+        exception-based fallback — an unbound-axis NameError here is a real
+        builder bug and must surface."""
         if self.axis_name is None:
             return x
-        try:
-            return jax.lax.pmean(x, self.axis_name)
-        except NameError:
-            return x
+        return jax.lax.pmean(x, self.axis_name)
 
     def init(self, eps):
         return self.inner.init(self._pool_eps(eps))

@@ -23,12 +23,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# XLA compile time dominates the suite on this 1-core box; persist compiled
-# programs across runs (keyed by HLO + config, so edits to traced code miss
-# the cache naturally and recompile).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
 import sys  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dynamichmc_tpu.utils.cache import host_keyed_cache_dir  # noqa: E402
+
+# XLA compile time dominates the suite on this 1-core box; persist compiled
+# programs across runs (keyed by HLO + config, so edits to traced code miss
+# the cache naturally and recompile). The directory carries a host-CPU
+# fingerprint: a cache shared across heterogeneous hosts loads CPU AOT
+# binaries specialized for other machines' features (SIGILL risk).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    host_keyed_cache_dir("/tmp/jax_test_compile_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
