@@ -86,6 +86,7 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
 
     driver = "wavefront" if int(os.environ.get("BENCH_WAVEFRONT", "0")) else "sync"
     stratify = int(os.environ.get("BENCH_STRATIFY", "0"))
+    clamp = int(os.environ.get("BENCH_DEPTH_CLAMP", "0")) or None
     ld = _model(dim, fused)
     # warm-up compile run (not timed): same schedule => same cached programs
     if int(os.environ.get("BENCH_WARM", "1")):
@@ -96,6 +97,7 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
             jax.random.PRNGKey(9), ld, n_chains, n_samples,
             warmup_stages=_stages(metric_kind, warm=True), dtype=jnp.float32,
             warmup_driver=driver, stratify_sampling=stratify,
+            warmup_depth_clamp=clamp,
         ).positions.block_until_ready()
     log = (
         (lambda m: print(f"[bench] {m}", file=sys.stderr))
@@ -107,6 +109,7 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
         jax.random.PRNGKey(0), ld, n_chains, n_samples, dtype=jnp.float32,
         warmup_stages=_stages(metric_kind, warm=False), log=log,
         warmup_driver=driver, stratify_sampling=stratify,
+        warmup_depth_clamp=clamp,
     )
     if log is not None:
         log(f"run_chains returned at {time.perf_counter() - t0:.2f}s")

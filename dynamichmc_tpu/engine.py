@@ -282,6 +282,14 @@ class WarmupSchedule:
     shrinkages: Tuple[float, ...]
     adaptation: object
     pooled: bool
+    # warmup depth clamp (TPU-native scheduling option, default off): cap
+    # tree doublings at this value during every block EXCEPT the last, then
+    # release to algorithm.max_depth. Early-warmup trees on an unadapted
+    # metric legitimately hit max depth and pin the whole lockstep batch;
+    # the clamp cuts those straggler slots while the terminal block still
+    # adapts eps under the unclamped kernel. Any cap is a valid NUTS kernel
+    # — only the adaptation trajectory changes (sampling is never clamped).
+    depth_clamp: Optional[int] = None
 
     @staticmethod
     def from_stages(stages: Tuple[WarmupStage, ...]) -> Optional["WarmupSchedule"]:
@@ -1175,6 +1183,10 @@ def make_monolithic_warmup_driver(
     kind = schedule.metric_kind
     pooled = schedule.pooled
     wf_upd = welford_update_pooled_b if pooled else welford_update_b
+    # depth clamp: active through every block except the last (see
+    # WarmupSchedule.depth_clamp); None disables it at trace time
+    clamp = schedule.depth_clamp
+    clamp_until = cums[-2] if len(cums) > 1 else 0
 
     def in_metric_block(i):
         flag = jnp.zeros((), bool)
@@ -1197,9 +1209,16 @@ def make_monolithic_warmup_driver(
             i = c["i"]
             step_key = jax.random.fold_in(key, i)
             eps = adaptation.current(c["da"])
+            if clamp is None:
+                dl = None
+            else:
+                dl = jnp.where(
+                    i < clamp_until, jnp.int32(clamp),
+                    jnp.int32(algorithm.max_depth),
+                )
             Q_new, stats, scratch = sample_tree_batched(
                 step_key, algorithm, ld, c["metric"], c["Q"], eps,
-                scratch=c["scratch"],
+                scratch=c["scratch"], depth_limit=dl,
             )
             da = adaptation.update(c["da"], stats.acceptance_rate)
             wf = jax.lax.cond(

@@ -101,6 +101,7 @@ def run_chains(
     reporter=None,
     warmup_driver: str = "sync",
     stratify_sampling: int = 0,
+    warmup_depth_clamp: Optional[int] = None,
 ) -> MCMCResult:
     """Run ``n_chains`` independently-warmed NUTS chains, batched on device.
 
@@ -151,6 +152,16 @@ def run_chains(
             "the wavefront warmup driver does not support a mesh yet"
         )
     schedule = WarmupSchedule.from_stages(tuple(warmup_stages))
+    if schedule is not None and warmup_depth_clamp is not None:
+        # cap tree doublings during all warmup blocks but the last (see
+        # WarmupSchedule.depth_clamp); sampling is never clamped
+        if not (0 < warmup_depth_clamp <= algorithm.max_depth):
+            raise ValueError(
+                "warmup_depth_clamp must be in 1..max_depth"
+            )
+        import dataclasses as _dc
+
+        schedule = _dc.replace(schedule, depth_clamp=warmup_depth_clamp)
     if schedule is not None:
         return _run_chains_fast(
             schedule, ld, algorithm, n_samples, states, chain_keys, mesh,

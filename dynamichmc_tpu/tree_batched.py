@@ -365,11 +365,20 @@ def sample_tree_batched(
     scratch=None,  # make_tree_scratch buffer, threaded through driver carries
     p: Optional[jnp.ndarray] = None,  # (C, K) injectable momenta (tests)
     noise=None,  # tree.TreeNoise with (C,)-tailed arrays (tests)
+    depth_limit=None,  # runtime doubling cap <= max_depth (warmup clamp)
 ):
     """One NUTS transition for a whole chain batch. Returns (Q', stats), or
     (Q', stats, scratch') when ``scratch`` is given (thread scratch' back
     into the next call — contents are meaningless between transitions; the
     return exists so enclosing while/scan carries can alias the buffer).
+
+    ``depth_limit`` (optional, runtime scalar) caps the number of doublings
+    below the static ``max_depth`` — the warmup depth clamp: early-warmup
+    trees on an unadapted metric legitimately hit max depth and pin the
+    whole lockstep batch; capping them during metric-tuning blocks trades
+    per-transition tail exploration (termination reads "max depth") for a
+    large cut in lockstep straggler slots. Every cap is a valid NUTS
+    kernel; the clamp only changes the ADAPTATION trajectory.
 
     Scratch safety: every stack slot is written before it is read within a
     doubling (slot ``l`` is stored by the merge at leaf ``2^l - 1``-pattern
@@ -384,6 +393,10 @@ def sample_tree_batched(
     dtype = Q.q.dtype
     max_depth = algorithm.max_depth
     S = max_depth  # merge-stack slots (levels 0..max_depth-1)
+    if depth_limit is None:
+        d_cap = jnp.int32(max_depth)
+    else:
+        d_cap = jnp.minimum(jnp.asarray(depth_limit, jnp.int32), max_depth)
 
     k_p, k_dir, k_tree = jax.random.split(key, 3)
     p0 = rand_p_b(k_p, metric, (C, K), dtype) if p is None else jnp.asarray(p, dtype)
@@ -554,7 +567,7 @@ def sample_tree_batched(
     # --- doubling loop -----------------------------------------------------------
 
     def cond(c):
-        return (c["d"] < max_depth) & jnp.any(~c["terminated"])
+        return (c["d"] < d_cap) & jnp.any(~c["terminated"])
 
     def body(c):
         kadj = jax.random.fold_in(k_tree, 2 * c["d"])
@@ -650,269 +663,11 @@ def _finish_transition(out, directions, C, scratch):
     return Q_new, stats
 
 
-def sample_tree_batched_flat(
-    key: jax.Array,
-    algorithm: NUTS,
-    ld: LogDensity,
-    metric: Metric,
-    Q: EvaluatedPoint,  # batched: q (C, K), logdensity (C,), grad (C, K)
-    eps,  # (C,) or scalar
-    directions: Optional[jnp.ndarray] = None,  # (C,) uint32
-    scratch=None,  # make_tree_scratch buffer, threaded through driver carries
-    p: Optional[jnp.ndarray] = None,  # (C, K) injectable momenta (tests)
-    noise=None,  # tree.TreeNoise with (C,)-tailed arrays (tests)
-    depth_limit=None,  # runtime doubling cap <= max_depth (warmup clamp)
-):
-    """Flat single-loop variant of :func:`sample_tree_batched`.
-
-    The nested driver runs 1 doubling ``while_loop`` + one adjacent-tree
-    ``while_loop`` PER DOUBLING; each loop instance pays a large entry cost
-    for the big carry on this runtime (measured ~90 us per doubling,
-    BENCH_NOTES round 2 — entry cost, not iteration cost). This driver runs
-    ONE ``while_loop`` over a scalar (doubling d, leaf n) counter pair:
-    tree-start and tree-completion logic execute under ``lax.cond`` on the
-    SCALAR events ``n == 0`` / ``n + 1 == 2^d`` (all active lanes share the
-    counters — the same invariant the nested driver exploits), so the
-    per-doubling loop-entry cost disappears entirely.
-
-    RNG-STREAM IDENTICAL to the nested driver (kadj = fold_in(k_tree, 2d),
-    kleaf = fold_in(kadj, n), kdbl = fold_in(k_tree, 2d+1)), so the two are
-    pinned against each other exactly (tests/test_equivalence_batched.py).
-    The merge run and doubling bookkeeping are the SAME shared helpers
-    (`_merge_pending`, `_doubling_bookkeeping`) covered by the detailed-
-    balance enumeration.
-
-    ``depth_limit`` (optional, runtime scalar) caps the number of doublings
-    below the static ``max_depth`` — the warmup depth clamp: early-warmup
-    trees on an unadapted metric legitimately hit max depth and pin the
-    whole lockstep batch; capping them during metric-tuning blocks trades
-    per-transition tail exploration (termination reads "max depth") for a
-    large cut in lockstep straggler slots. Statistically every cap is a
-    valid NUTS kernel; the clamp only changes the ADAPTATION trajectory.
-    """
-    if algorithm.turn_statistic_configuration != "generalized":
-        raise NotImplementedError(
-            "the batch-native driver supports only the generalized turn "
-            "statistic; use sample_tree(fast=False) for custom statistics"
-        )
-    C, K = Q.q.shape
-    dtype = Q.q.dtype
-    max_depth = algorithm.max_depth
-    S = max_depth
-    if depth_limit is None:
-        d_cap = jnp.int32(max_depth)
-    else:
-        d_cap = jnp.minimum(jnp.asarray(depth_limit, jnp.int32), max_depth)
-
-    k_p, k_dir, k_tree = jax.random.split(key, 3)
-    p0 = rand_p_b(k_p, metric, (C, K), dtype) if p is None else jnp.asarray(p, dtype)
-    if directions is None:
-        directions = jax.random.bits(k_dir, (C,), jnp.uint32)
-    eps = jnp.broadcast_to(jnp.asarray(eps, dtype), (C,))
-    min_delta = jnp.asarray(algorithm.min_delta, dtype)
-    neg_inf = jnp.asarray(-jnp.inf, dtype)
-
-    ops = make_tau_ops(metric)
-    tau_len = ops.tau_len
-    carry_psharp = tau_len == 5
-    _pi_and_psharp = ops.pi_and_psharp
-    leaf_tau = ops.leaf_tau
-    combine_dir = ops.combine_dir
-
-    pi0, sp0 = _pi_and_psharp(Q.logdensity, p0)
-    z0 = _Edge(q=Q.q, p=p0, grad=Q.grad, ld=Q.logdensity)
-
-    def cond(c):
-        return (c["d"] < d_cap) & jnp.any(~c["terminated"])
-
-    def body(c):
-        d = c["d"]
-        n = c["n"]
-        engaged = ~c["terminated"]
-
-        # --- tree start (scalar event n == 0) -------------------------------
-        def start_tree(c):
-            kadj = jax.random.fold_in(k_tree, 2 * d)
-            is_fwd = ((c["dirs"] >> d.astype(jnp.uint32)) & jnp.uint32(1)) == 1
-            z = _where_edge(is_fwd, c["z_plus"], c["z_minus"])
-            i_edge = jnp.where(is_fwd, c["i_plus"], c["i_minus"])
-            return {
-                **c,
-                "kadj": kadj,
-                "is_fwd": is_fwd,
-                "z": z,
-                "i_edge": i_edge,
-                "building": jnp.ones((C,), bool),
-                "omega_adj": jnp.full((C,), -jnp.inf, dtype),
-                "best_score": jnp.full((C,), -jnp.inf, dtype),
-                "lsum_adj": jnp.full((C,), -jnp.inf, dtype),
-                "steps_adj": jnp.zeros((C,), jnp.int32),
-                "inv_left": jnp.zeros((C,), jnp.int32),
-                "inv_right": jnp.zeros((C,), jnp.int32),
-            }
-
-        c = jax.lax.cond(n == 0, start_tree, lambda c: c, c)
-        is_fwd = c["is_fwd"]
-        i_edge = c["i_edge"]
-        step = jnp.where(is_fwd, jnp.int32(1), jnp.int32(-1))
-        eps_signed = jnp.where(is_fwd, eps, -eps)
-
-        # --- one leaf --------------------------------------------------------
-        kleaf = jax.random.fold_in(c["kadj"], n)
-        if ld.fused_leaf_batched_fn is not None:
-            qn, pn, gn, ldn, pi = ld.fused_leaf_batched_fn(
-                metric, c["z"].q, c["z"].p, c["z"].grad, eps_signed
-            )
-            z = _Edge(q=qn, p=pn, grad=gn, ld=ldn)
-            sp = psharp_b(metric, z.p) if carry_psharp else None
-        else:
-            z = _leapfrog_b(ld, metric, c["z"], eps_signed)
-            pi, sp = _pi_and_psharp(z.ld, z.p)
-        i_new = i_edge + step * (n + jnp.int32(1))
-        delta = pi - pi0
-        divergent = delta < min_delta
-        live = c["building"] & engaged
-
-        v_log = jnp.where(live, jnp.minimum(delta, 0.0), neg_inf)
-        lsum_adj = jnp.logaddexp(c["lsum_adj"], v_log)
-        steps_adj = c["steps_adj"] + live.astype(jnp.int32)
-
-        if noise is None:
-            g = jax.random.gumbel(kleaf, (C,), dtype)
-        else:
-            g = noise.gumbel[d, n].astype(dtype)
-        score = jnp.where(divergent | ~live, neg_inf, delta + g)
-        take = score > c["best_score"]
-        tk = take[:, None]
-        best_score = jnp.where(take, score, c["best_score"])
-        best_q = jnp.where(tk, z.q, c["best_q"])
-        best_ld = jnp.where(take, z.ld, c["best_ld"])
-        best_grad = jnp.where(tk, z.grad, c["best_grad"])
-        best_pi = jnp.where(take, pi, c["best_pi"])
-        omega_adj = jnp.logaddexp(
-            c["omega_adj"], jnp.where(divergent | ~live, neg_inf, delta)
-        )
-
-        node = leaf_tau(z.p, sp)
-        turned = jnp.zeros((C,), bool)
-        turn_left = jnp.zeros((C,), jnp.int32)
-        node, _level, turned, turn_left, stack = _merge_pending(
-            n, c["stack"], node, combine_dir, is_fwd, i_edge, step,
-            jnp.int32(0), turned, turn_left,
-        )
-
-        invalid = live & (divergent | turned)
-        left = jnp.where(divergent, i_new, turn_left)
-        building = c["building"] & ~(divergent | turned)
-
-        c = {
-            **c,
-            "z": z,
-            "stack": stack,
-            "building": building,
-            "lsum_adj": lsum_adj,
-            "steps_adj": steps_adj,
-            "omega_adj": omega_adj,
-            "best_score": best_score,
-            "best_q": best_q,
-            "best_ld": best_ld,
-            "best_grad": best_grad,
-            "best_pi": best_pi,
-            "inv_left": jnp.where(invalid, left, c["inv_left"]),
-            "inv_right": jnp.where(invalid, i_new, c["inv_right"]),
-            "work": c["work"] + jnp.int32(1),
-        }
-
-        # --- tree completion (scalar event): all leaves done or no lane
-        # still building this tree (the nested driver's adjacent-loop exit) --
-        n_leaves = jnp.int32(1) << d
-        tree_over = ((n + 1) == n_leaves) | ~jnp.any(building & engaged)
-
-        def complete(c):
-            # the last merge run produced the level-d statistic for every
-            # still-building lane (leaf 2^d - 1 has d trailing ones);
-            # invalid lanes' frozen nodes are never consumed
-            adj = {
-                "building": c["building"],
-                "log_sum": c["lsum_adj"],
-                "steps": c["steps_adj"],
-                "n": jnp.int32(0),  # work already counted per-iteration
-                "z": c["z"],
-                "i_end": c["i_edge"] + step * (n + jnp.int32(1)),
-                "omega": c["omega_adj"],
-                "tau_tree": node,
-                "inv_left": c["inv_left"],
-                "inv_right": c["inv_right"],
-            }
-            upd = _doubling_bookkeeping(c, adj, engaged, is_fwd, combine_dir)
-            valid = upd.pop("valid")
-
-            kdbl = jax.random.fold_in(k_tree, 2 * d + 1)
-            lp2 = c["omega_adj"] - c["omega"]
-            if noise is None:
-                e_dbl = jax.random.exponential(kdbl, (C,), dtype)
-            else:
-                e_dbl = noise.expo[d].astype(dtype)
-            accept = (lp2 >= 0) | (e_dbl > -lp2)
-            take2 = (valid & accept)[:, None]
-            return {
-                **c,
-                **upd,
-                "prop_q": jnp.where(take2, c["best_q"], c["prop_q"]),
-                "prop_ld": jnp.where(valid & accept, c["best_ld"], c["prop_ld"]),
-                "prop_grad": jnp.where(take2, c["best_grad"], c["prop_grad"]),
-                "prop_pi": jnp.where(valid & accept, c["best_pi"], c["prop_pi"]),
-                "d": d + jnp.int32(1),
-                "n": jnp.int32(0),
-            }
-
-        def carry_on(c):
-            return {**c, "n": n + jnp.int32(1)}
-
-        return jax.lax.cond(tree_over, complete, carry_on, c)
-
-    init = {
-        "d": jnp.int32(0),
-        "n": jnp.int32(0),
-        "kadj": k_tree,
-        "dirs": directions,
-        "stack": (
-            tuple(jnp.zeros((S, C, K), dtype) for _ in range(tau_len))
-            if scratch is None
-            else tuple(scratch)
-        ),
-        "z_minus": z0,
-        "z_plus": z0,
-        "i_minus": jnp.zeros((C,), jnp.int32),
-        "i_plus": jnp.zeros((C,), jnp.int32),
-        "prop_q": Q.q,
-        "prop_ld": Q.logdensity,
-        "prop_grad": Q.grad,
-        "prop_pi": pi0,
-        "omega": jnp.zeros((C,), dtype),
-        "tau": leaf_tau(p0, sp0),
-        "work": jnp.int32(0),
-        "log_sum": jnp.full((C,), -jnp.inf, dtype),
-        "steps": jnp.zeros((C,), jnp.int32),
-        "depth": jnp.zeros((C,), jnp.int32),
-        "terminated": jnp.zeros((C,), bool),
-        "term_left": jnp.ones((C,), jnp.int32),
-        "term_right": jnp.zeros((C,), jnp.int32),
-        # adjacent-tree slots (reset by start_tree at each n == 0)
-        "is_fwd": jnp.zeros((C,), bool),
-        "z": z0,
-        "i_edge": jnp.zeros((C,), jnp.int32),
-        "building": jnp.ones((C,), bool),
-        "omega_adj": jnp.full((C,), -jnp.inf, dtype),
-        "best_score": jnp.full((C,), -jnp.inf, dtype),
-        "best_q": jnp.zeros((C, K), dtype),
-        "best_ld": jnp.zeros((C,), dtype),
-        "best_grad": jnp.zeros((C, K), dtype),
-        "best_pi": jnp.zeros((C,), dtype),
-        "lsum_adj": jnp.full((C,), -jnp.inf, dtype),
-        "steps_adj": jnp.zeros((C,), jnp.int32),
-        "inv_left": jnp.zeros((C,), jnp.int32),
-        "inv_right": jnp.zeros((C,), jnp.int32),
-    }
-    out = jax.lax.while_loop(cond, body, init)
-    return _finish_transition(out, directions, C, scratch)
+# A flat single-loop variant (one while_loop over a scalar (d, n) counter
+# pair, with tree-start / tree-completion under lax.cond) was built, pinned
+# RNG-stream-identical against this driver, and MEASURED SLOWER on the
+# headline config (TPU v5e, 4096x100 dense, eps sweep 0.18-1.4): 0.65-0.77x
+# — the per-leaf lax.conds route the full carry and cost ~40 us/leaf, more
+# than the ~90 us per-DOUBLING loop entry they eliminate. Removed; the
+# depth_limit clamp it introduced lives on in sample_tree_batched above.
+# (BENCH_NOTES.md round 3, "flat driver" row.)

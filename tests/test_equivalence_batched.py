@@ -99,8 +99,9 @@ def run_fast_chain(model, metric, q0s, eps, p, dirs, gumbel, expo, max_depth):
     return qs, stats
 
 
-def run_batched_chain(model, metric, q0s, eps, p, dirs, gumbel, expo, max_depth):
-    """Same segmented transitions through the batch-native driver (any C).
+def run_batched_chain(model, metric, q0s, eps, p, dirs, gumbel, expo, max_depth,
+                      driver=sample_tree_batched):
+    """Same segmented transitions through a batch-native driver (any C).
 
     q0s: (Nseg, C, K); noise arrays lead with (Nseg, SEG, ...)."""
     algo = NUTS(max_depth=max_depth)
@@ -112,7 +113,7 @@ def run_batched_chain(model, metric, q0s, eps, p, dirs, gumbel, expo, max_depth)
 
         def step(Q, inp):
             p_t, d_t, g_t, e_t = inp
-            Qn, stats = sample_tree_batched(
+            Qn, stats = driver(
                 KEY, algo, model, metric, Q, jnp.broadcast_to(eps, (C,)),
                 directions=d_t, p=p_t, noise=TreeNoise(g_t, e_t),
             )
@@ -256,4 +257,39 @@ def test_batched_lane_isolation():
         np.testing.assert_allclose(
             np.asarray(q_c)[:, :, 0], np.asarray(q_all)[:, :, c],
             rtol=0, atol=1e-10, err_msg=f"lane {c}: positions",
+        )
+
+
+def test_depth_limit_clamp():
+    """The runtime depth clamp caps doublings below the static max_depth:
+    depth <= limit everywhere, termination reads max-depth for clamped
+    trees, and limit == max_depth is exactly the unclamped driver."""
+    model, metric, K = build_case("std4", "identity")
+    C, T, max_depth = 32, 40, 6
+    rng = np.random.RandomState(2)
+    q0 = jnp.asarray(rng.randn(C, K))
+    Q0 = jax.vmap(lambda q: evaluate(model, q))(q0)
+    algo = NUTS(max_depth=max_depth)
+    eps = jnp.full((C,), 0.12)
+
+    def chain(limit):
+        def step(Q, i):
+            Qn, st = sample_tree_batched(
+                jax.random.fold_in(KEY, i), algo, model, metric, Q, eps,
+                depth_limit=limit,
+            )
+            return Qn, st
+        return jax.jit(lambda: jax.lax.scan(step, Q0, jnp.arange(T)))()
+
+    _, st2 = chain(jnp.int32(2))
+    assert int(np.asarray(st2.depth).max()) <= 2
+    # clamped shallow trees terminate as "reached max depth", not turning
+    deep = np.asarray(st2.depth) == 2
+    assert np.asarray(st2.reached_max_depth)[deep].any()
+
+    _, st_full = chain(jnp.int32(max_depth))
+    _, st_none = chain(None)
+    for f in ("depth", "steps", "term_left", "term_right"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_full, f)), np.asarray(getattr(st_none, f))
         )
