@@ -526,10 +526,17 @@ def execute(
     log=None,
     draw_sink=None,
     stratify_sampling: int = 0,
+    stratify_permute_only: bool = False,
 ):
     """Run the schedule eagerly, chunking long stages into watchdog-safe
     dispatches with adaptive chunk sizing (the TPU runtime kills single
     executions that run for minutes).
+
+    ``stratify_permute_only``: mesh-stratified sampling — sort lanes by
+    adapted (per-chain) eps before the normal sharded sampling loop so each
+    device's shard is one eps band; see the in-line note at the sampling
+    section. Ignored when group-serial ``stratify_sampling`` is active or
+    eps is shared.
 
     ``key_fold(i)`` returns the (possibly batched) key for step-group ``i``.
     Returns (metric, eps, search_results, summaries, inference_tuple).
@@ -842,6 +849,12 @@ def execute(
         and C_total % G == 0
         and programs.sample_stratified is not None
     )
+    permute_only = (
+        stratify_permute_only
+        and not stratify
+        and n_batch_dims == 1
+        and getattr(eps, "ndim", 0) == 1
+    )
     if stratify:
         # Depth-stratified execution: with PER-CHAIN stepsizes the lockstep
         # batch pays every transition's max-over-lanes tree depth, and small-
@@ -909,6 +922,32 @@ def execute(
         Q = _regroup_q(tuple(Q_parts), inv_perm)
         pieces_perm = None if draw_sink is not None else inv_perm
     else:
+        metric_ret, eps_ret = metric, eps
+        perm_only_inv = None
+        if permute_only:
+            # Mesh-stratified sampling by PERMUTATION: sort lanes by adapted
+            # eps so each device's contiguous shard holds one eps band.
+            # Under shard_map every device already bounds its lockstep tree
+            # loop by its OWN local lanes (the while-loop condition is a
+            # local `any`; no cross-device depth sync exists), so the sort
+            # alone yields group-per-device stratification — the deepest
+            # min-eps lanes stall only their own device. One jitted
+            # permutation in, lane order restored by the assembly.
+            perm = jnp.argsort(eps)
+            perm_only_inv = jnp.argsort(perm)
+            metric_b = metric_is_batched(metric)
+
+            @jax.jit
+            def _permute_state(Q, eps, metric, perm):
+                take = lambda t: jax.tree_util.tree_map(lambda x: x[perm], t)
+                return (
+                    take(Q), eps[perm],
+                    take(metric) if metric_b else metric,
+                )
+
+            Q, eps, metric = _permute_state(Q, eps, metric, perm)
+            if log is not None:
+                log("sampling: lanes eps-sorted (mesh stratification)")
         n_chunks = -(-n_samples // programs.sample_chunk)
         pieces = []
         t_sample = _time.perf_counter()
@@ -925,6 +964,11 @@ def execute(
                 run_sample, log=log, what="sampling dispatch"
             )
             if draw_sink is not None:
+                if perm_only_inv is not None:
+                    # restore the caller's lane order before anything leaves
+                    qs, lds, stats = _regroup_lanes(
+                        ((qs, lds, stats),), perm_only_inv
+                    )
                 draw_sink(c * programs.sample_chunk, qs, lds, stats)
                 pieces.append(((None, None, stats),))
             else:
@@ -935,7 +979,12 @@ def execute(
                     f"sampling: {min((c + 1) * programs.sample_chunk, n_samples)}"
                     f"/{n_samples} ({_time.perf_counter() - t_sample:.1f}s)"
                 )
-        pieces_perm = None
+        if perm_only_inv is not None:
+            Q = _regroup_q((Q,), perm_only_inv)
+            metric, eps = metric_ret, eps_ret
+            pieces_perm = None if draw_sink is not None else perm_only_inv
+        else:
+            pieces_perm = None
 
     # ONE jitted dispatch assembles every chunk (and, stratified, every
     # group) and restores lane order: doing this with eager ops measured

@@ -119,12 +119,16 @@ def run_chains(
     always uses the synchronized driver). Wavefront currently requires
     ``mesh=None``.
 
-    ``stratify_sampling=G`` (G > 1, per-chain stepsizes, mesh-less): sort
-    lanes by adapted eps after warmup and sample G contiguous groups with a
-    width-C/G program — each group's lockstep tree loop is bounded by its
-    OWN deepest lane instead of the global min-eps straggler (measured
-    58-90% of sampling leaf slots wasted on per-chain configs). Scheduling
-    only; lane order of the returned draws is unchanged.
+    ``stratify_sampling=G`` (G > 1, per-chain stepsizes): sort lanes by
+    adapted eps after warmup so each group's lockstep tree loop is bounded
+    by its OWN deepest lane instead of the global min-eps straggler
+    (measured 58-90% of sampling leaf slots wasted on per-chain configs).
+    Mesh-less: G contiguous groups sampled group-serially with a width-C/G
+    program. With a mesh: pure lane permutation — eps-banded shards give
+    group-per-device stratification with zero cross-device depth sync
+    (shard_map bounds each device's lockstep loop by its local lanes
+    already). Scheduling only; lane order of the returned draws is
+    unchanged.
 
     Returns a batched :class:`MCMCResult` with ``positions`` of shape
     (n_chains, n_samples, K).
@@ -316,10 +320,18 @@ def _run_chains_fast(
     wavefront: bool = False,
     stratify_sampling: int = 0,
 ) -> MCMCResult:
-    if stratify_sampling and (mesh is not None or not batched):
+    if stratify_sampling and not batched:
         raise NotImplementedError(
-            "stratify_sampling requires the batch-native mesh-less path"
+            "stratify_sampling requires the batch-native path"
         )
+    # Under a mesh, stratification is a lane PERMUTATION (sort by adapted
+    # eps): shard_map already bounds each device's lockstep loop by its own
+    # local lanes, so eps-banded shards give group-per-device stratification
+    # with zero cross-device depth sync and no extra programs. The
+    # group-serial G-way path below stays mesh-less.
+    stratify_mesh = bool(stratify_sampling) and mesh is not None
+    if stratify_mesh:
+        stratify_sampling = 0
     if batched:
         # Dispatch-overhead amortization: each device dispatch pays a fixed
         # RPC/launch cost (hundreds of ms through a tunneled chip), so draw
@@ -387,6 +399,7 @@ def _run_chains_fast(
         log=log,
         draw_sink=draw_sink,
         stratify_sampling=int(stratify_sampling) if stratify_sampling else 0,
+        stratify_permute_only=stratify_mesh,
     )
     if search_results is not None:
         _check_stepsize_search([(None, search_results, None)])

@@ -1,0 +1,56 @@
+"""Warmup depth clamp (run_chains(warmup_depth_clamp=)): statistical gates.
+
+The clamp caps tree doublings during every warmup block but the last
+(engine.WarmupSchedule.depth_clamp). It is scheduling-only in the sense that
+every capped transition is still a valid NUTS kernel; these gates check the
+END of warmup is unaffected where it matters — adapted eps in the healthy
+range, clean sampling moments, no divergences — on both pooled and
+per-chain adaptation. (The wall-clock win is measured on the TPU:
+BENCH_NOTES.md round 3 — 65% -> 33% warmup straggler waste, 467k -> 660k
+ESS/s on the headline config at unchanged sampling quality.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamichmc_tpu.models import mvnormal
+from dynamichmc_tpu.parallel import run_chains
+from dynamichmc_tpu.warmup import default_warmup_stages
+
+
+def _target(dim=5, seed=4):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(dim, dim))
+    cov = A @ A.T + 0.5 * np.eye(dim)
+    return mvnormal(np.zeros(dim), cov), cov
+
+
+@pytest.mark.parametrize("pooled", [False, True])
+def test_clamped_warmup_moments(pooled):
+    ld, cov = _target()
+    stages = default_warmup_stages(
+        metric_kind="dense", pooled=pooled, pooled_stepsize=pooled
+    )
+    res = run_chains(
+        jax.random.PRNGKey(11), ld, 24, 400, dtype=jnp.float64,
+        warmup_stages=stages, warmup_depth_clamp=3,
+    )
+    qs = np.asarray(res.positions).reshape(-1, 5)
+    assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.08
+    assert np.abs(qs.mean(0) / np.sqrt(np.diag(cov))).max() < 0.08
+    assert int(np.asarray(res.tree_statistics.is_divergent).sum()) == 0
+    eps = np.asarray(res.eps)
+    assert (eps > 0.05).all() and (eps < 5).all()
+    acc = np.asarray(res.tree_statistics.acceptance_rate)
+    assert acc.mean() > 0.7
+
+
+def test_clamp_validates_range():
+    ld, _ = _target()
+    with pytest.raises(ValueError, match="1..max_depth"):
+        run_chains(
+            jax.random.PRNGKey(0), ld, 8, 16, dtype=jnp.float64,
+            warmup_depth_clamp=99,
+        )

@@ -72,3 +72,43 @@ def test_stratified_pooled_eps_falls_through():
     )
     qs = np.asarray(res.positions).reshape(-1, 5)
     assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.09
+
+
+def test_stratified_on_mesh_permutation():
+    """Mesh stratification = lane permutation: eps-banded device shards,
+    zero cross-device depth sync (shard_map already bounds each device's
+    lockstep loop locally). Gates on the virtual 8-device CPU mesh:
+    correct moments, untouched warmup (eps/metric bitwise-equal to the
+    unstratified mesh run in caller lane order), and restored lane order.
+
+    What one chip CANNOT confirm: the wall-clock win. On the virtual CPU
+    mesh all shards share one core, so the depth-bound benefit (each
+    device's loop bounded by its own eps band instead of the global
+    min-eps straggler) is a prediction for real multi-chip hardware, not a
+    measurement; docs/performance.md carries the honest
+    predicted-vs-measured note.
+    """
+    from dynamichmc_tpu.parallel import chain_mesh
+
+    mesh = chain_mesh()
+    ld, cov = _target()
+    kwargs = dict(
+        dtype=jnp.float64,
+        warmup_stages=default_warmup_stages(metric_kind="dense"),
+        mesh=mesh,
+    )
+    res = run_chains(
+        jax.random.PRNGKey(3), ld, 32, 300, stratify_sampling=8, **kwargs
+    )
+    q = np.asarray(res.positions)
+    assert q.shape == (32, 300, 5)
+    qs = q.reshape(-1, 5)
+    assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.08
+    assert np.abs(qs.mean(0) / np.sqrt(np.diag(cov))).max() < 0.08
+
+    # warmup untouched + per-lane outputs in the caller's lane order
+    res0 = run_chains(jax.random.PRNGKey(3), ld, 32, 8, **kwargs)
+    np.testing.assert_array_equal(np.asarray(res.eps), np.asarray(res0.eps))
+    np.testing.assert_array_equal(
+        np.asarray(res.metric.m_inv), np.asarray(res0.metric.m_inv)
+    )
