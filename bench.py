@@ -67,14 +67,19 @@ def _stages(metric_kind: str, warm: bool):
 
 
 def _model(dim: int, fused: bool):
-    """BENCH_MODEL: 'gaussian' (default; BASELINE configs 1/2/5) or
-    'logreg' (BASELINE config 3: n_obs=1000 synthetic logistic regression,
-    AD gradient through the likelihood matmul)."""
+    """BENCH_MODEL: 'gaussian' (default; BASELINE configs 2/5),
+    'stdnormal' (config 1: standard MVN, pair with BENCH_METRIC=diagonal), or
+    'logreg' (config 3: n_obs=1000 synthetic logistic regression, AD
+    gradient through the likelihood matmul)."""
     name = os.environ.get("BENCH_MODEL", "gaussian")
     if name == "logreg":
         from dynamichmc_tpu.models import logistic_regression
 
         return logistic_regression(n_obs=1000, dim=dim, dtype=jnp.float32)
+    if name == "stdnormal":
+        from dynamichmc_tpu.models import std_normal
+
+        return std_normal(dim, dtype=jnp.float32)
     from dynamichmc_tpu.models import correlated_gaussian
 
     return correlated_gaussian(dim, dtype=jnp.float32, fused=fused)
@@ -86,7 +91,11 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
 
     driver = "wavefront" if int(os.environ.get("BENCH_WAVEFRONT", "0")) else "sync"
     stratify = int(os.environ.get("BENCH_STRATIFY", "0"))
-    clamp = int(os.environ.get("BENCH_DEPTH_CLAMP", "0")) or None
+    # warmup depth clamp (default 4, measured round 3: warmup straggler
+    # waste 65% -> 14%, headline 467k -> 830k ESS/s, zero divergences,
+    # statistical gates unchanged — tests/test_depth_clamp.py). Set
+    # BENCH_DEPTH_CLAMP=0 for unclamped reference-schedule semantics.
+    clamp = int(os.environ.get("BENCH_DEPTH_CLAMP", "4")) or None
     ld = _model(dim, fused)
     # warm-up compile run (not timed): same schedule => same cached programs
     if int(os.environ.get("BENCH_WARM", "1")):
@@ -200,10 +209,12 @@ def main():
             {
                 "metric": (
                     "min_pooled_bulk_ESS_per_sec_"
-                    + (
-                        f"logreg{dim}d_"
-                        if os.environ.get("BENCH_MODEL") == "logreg"
-                        else f"{dim}d_corr_gaussian_"
+                    + {
+                        "logreg": f"logreg{dim}d_",
+                        "stdnormal": f"{dim}d_std_normal_",
+                    }.get(
+                        os.environ.get("BENCH_MODEL", "gaussian"),
+                        f"{dim}d_corr_gaussian_",
                     )
                     + f"{n_chains}chains_{metric_kind}metric"
                 ),
