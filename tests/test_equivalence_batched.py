@@ -189,6 +189,25 @@ def assert_chains_equal(res_fast, res_batched, label, atol=1e-10, lane=0):
     )
 
 
+_batched_cache = {}
+
+
+def _run_case_batched(model_key, metric_key, eps, T=400, max_depth=6):
+    """Batched-driver run per case, cached so the termination-coverage test
+    reuses the equivalence tests' results instead of recomputing the sweep."""
+    key = (model_key, metric_key, eps)
+    if key not in _batched_cache:
+        model, metric, K = build_case(model_key, metric_key)
+        q0s, p, dirs, gumbel, expo = draw_all_noise(
+            zlib.crc32(f"{model_key}/{metric_key}/{eps}".encode()),
+            T, max_depth, K, metric, C=1,
+        )
+        _batched_cache[key] = run_batched_chain(
+            model, metric, q0s, eps, p, dirs, gumbel, expo, max_depth
+        )
+    return _batched_cache[key]
+
+
 @pytest.mark.parametrize("model_key,metric_key,eps", CASES)
 def test_batched_equals_fast_c1(model_key, metric_key, eps):
     T, max_depth = 400, 6
@@ -202,26 +221,16 @@ def test_batched_equals_fast_c1(model_key, metric_key, eps):
     res_f = run_fast_chain(
         model, metric, q0s[:, 0], eps, p, dirs, gumbel, expo, max_depth
     )
-    res_b = run_batched_chain(
-        model, metric, q0s, eps, p, dirs, gumbel, expo, max_depth
-    )
+    res_b = _run_case_batched(model_key, metric_key, eps)
     assert_chains_equal(res_f, res_b, label)
 
 
 def test_sweep_covers_all_terminations():
     """The equivalence sweep is only proof-grade if it drives the drivers
     through every termination path: turning, divergence, and max-depth."""
-    T, max_depth = 400, 6
     seen = set()
     for model_key, metric_key, eps in CASES:
-        model, metric, K = build_case(model_key, metric_key)
-        q0s, p, dirs, gumbel, expo = draw_all_noise(
-            zlib.crc32(f"{model_key}/{metric_key}/{eps}".encode()),
-            T, max_depth, K, metric, C=1,
-        )
-        _, stats = run_batched_chain(
-            model, metric, q0s, eps, p, dirs, gumbel, expo, max_depth
-        )
+        _, stats = _run_case_batched(model_key, metric_key, eps)
         if bool(np.asarray(stats.is_divergent).any()):
             seen.add("divergent")
         if bool(np.asarray(stats.is_turning).any()):

@@ -123,6 +123,7 @@ def test_chains_divisibility_check():
         run_chains(KEY, std_normal(2), n_chains=9, n_samples=30, mesh=mesh)
 
 
+@pytest.mark.slow  # the driver executes this separately every round
 def test_dryrun_multichip():
     import sys, os
 

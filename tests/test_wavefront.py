@@ -23,7 +23,10 @@ def test_wavefront_end_to_end_matches_sync_statistics():
     ld = mvnormal(np.zeros(4), cov)
     res = run_chains(
         jax.random.PRNGKey(1), ld, 16, 400, dtype=jnp.float64,
-        warmup_stages=default_warmup_stages(metric_kind="dense", pooled=True),
+        warmup_stages=default_warmup_stages(
+            metric_kind="dense", pooled=True, init_steps=40,
+            middle_steps=20, doubling_stages=3, terminating_steps=25,
+        ),
         warmup_driver="wavefront",
     )
     qs = np.asarray(res.positions).reshape(-1, 4)
@@ -40,6 +43,10 @@ def test_wavefront_per_chain_adaptation():
     ld = std_normal(3)
     res = run_chains(
         jax.random.PRNGKey(2), ld, 8, 200, dtype=jnp.float64,
+        warmup_stages=default_warmup_stages(
+            init_steps=40, middle_steps=20, doubling_stages=3,
+            terminating_steps=25,
+        ),
         warmup_driver="wavefront",
     )
     eps = np.asarray(res.eps)
@@ -116,7 +123,9 @@ def test_wavefront_pooled_stepsize_epochal():
     res = run_chains(
         jax.random.PRNGKey(6), ld, 16, 400, dtype=jnp.float64,
         warmup_stages=default_warmup_stages(
-            metric_kind="dense", pooled=True, pooled_stepsize=True
+            metric_kind="dense", pooled=True, pooled_stepsize=True,
+            init_steps=40, middle_steps=20, doubling_stages=3,
+            terminating_steps=25,
         ),
         warmup_driver="wavefront",
     )
