@@ -455,6 +455,7 @@ def _fast_programs_batched_cached(
     from ..engine import build_programs_batched
     from ..stepsize import PooledStepsize
 
+    host_adaptation = schedule.adaptation
     if (
         mesh is not None
         and isinstance(schedule.adaptation, PooledStepsize)
@@ -462,7 +463,10 @@ def _fast_programs_batched_cached(
     ):
         # under shard_map each device only sees its local lanes; pool the
         # acceptance signal over the mesh axis too, or every device adapts
-        # a different "shared" eps
+        # a different "shared" eps. The axis-BOUND instance exists only for
+        # the program bodies built below; host-side init/current/final (in
+        # engine.execute) go through the original unbound instance, which is
+        # restored on the returned FastPrograms — see PooledStepsize._pmean.
         schedule = _dc.replace(
             schedule,
             adaptation=_dc.replace(
@@ -554,7 +558,7 @@ def _fast_programs_batched_cached(
         )
         return jax.jit(f)
 
-    return build_programs_batched(
+    programs = build_programs_batched(
         ld,
         algorithm,
         schedule,
@@ -567,3 +571,5 @@ def _fast_programs_batched_cached(
         stratify=stratify,
         stratify_chunk=stratify_chunk,
     )
+    # host-side adaptation calls must use the unbound instance
+    return programs._replace(adaptation=host_adaptation)

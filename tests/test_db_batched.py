@@ -61,22 +61,25 @@ def check_detailed_balance(z0, depth, turning=(1, 0), divergent=(1, 0),
         )
 
 
-@pytest.mark.parametrize("depth", [1, 2, 3, 4, 5])
+DEPTHS = [1, 2, 3, 4] + [pytest.param(5, marks=pytest.mark.slow)]
+
+
+@pytest.mark.parametrize("depth", DEPTHS)
 def test_db_batched_plain(depth):
     check_detailed_balance(0, depth)
 
 
-@pytest.mark.parametrize("depth", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("depth", DEPTHS)
 def test_db_batched_turning(depth):
     check_detailed_balance(3, depth, turning=(1, 2))
 
 
-@pytest.mark.parametrize("depth", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("depth", DEPTHS)
 def test_db_batched_divergent(depth):
     check_detailed_balance(3, depth, divergent=(10, 11))
 
 
-@pytest.mark.parametrize("depth", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("depth", DEPTHS)
 def test_db_batched_both(depth):
     check_detailed_balance(3, depth, divergent=(10, 12), turning=(-3, -2))
 

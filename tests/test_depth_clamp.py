@@ -27,7 +27,9 @@ def _target(dim=5, seed=4):
     return mvnormal(np.zeros(dim), cov), cov
 
 
-@pytest.mark.parametrize("pooled", [False, True])
+@pytest.mark.parametrize(
+    "pooled", [pytest.param(False, marks=pytest.mark.slow), True]
+)
 def test_clamped_warmup_moments(pooled):
     ld, cov = _target()
     stages = default_warmup_stages(

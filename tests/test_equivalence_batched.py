@@ -126,16 +126,21 @@ def run_batched_chain(model, metric, q0s, eps, p, dirs, gumbel, expo, max_depth,
     return qs, stats
 
 
-CASES = [
-    # (model builder, metric builder, eps, label)
-    ("std4", "identity", 0.5),
+# Fast-tier subset: one case per termination regime (max-depth-rich,
+# turning-rich, divergence-rich on the dense path). The FULL sweep runs in
+# the slow tier; the fast subset keeps the proof-grade gate on every change.
+FAST_CASES = [
     ("std4", "identity", 0.02),  # deep trees: max-depth-rich
-    ("std4", "identity", 1.9),  # turning-rich
-    ("std4", "diag", 1.2),
-    ("corr5", "dense", 0.4),
+    ("std4", "diag", 1.2),  # turning-rich
     ("corr5", "dense", 2.5),  # divergence/turning-rich
+]
+SLOW_CASES = [
+    ("std4", "identity", 0.5),
+    ("std4", "identity", 1.9),
+    ("corr5", "dense", 0.4),
     ("corr5", "diag", 0.25),
 ]
+CASES = FAST_CASES + SLOW_CASES
 
 
 def build_case(model_key, metric_key):
@@ -208,7 +213,11 @@ def _run_case_batched(model_key, metric_key, eps, T=400, max_depth=6):
     return _batched_cache[key]
 
 
-@pytest.mark.parametrize("model_key,metric_key,eps", CASES)
+@pytest.mark.parametrize(
+    "model_key,metric_key,eps",
+    [pytest.param(*c) for c in FAST_CASES]
+    + [pytest.param(*c, marks=pytest.mark.slow) for c in SLOW_CASES],
+)
 def test_batched_equals_fast_c1(model_key, metric_key, eps):
     T, max_depth = 400, 6
     model, metric, K = build_case(model_key, metric_key)
@@ -225,6 +234,7 @@ def test_batched_equals_fast_c1(model_key, metric_key, eps):
     assert_chains_equal(res_f, res_b, label)
 
 
+@pytest.mark.slow
 def test_sweep_covers_all_terminations():
     """The equivalence sweep is only proof-grade if it drives the drivers
     through every termination path: turning, divergence, and max-depth."""

@@ -96,15 +96,21 @@ def run_batched_reference(model, metric, q0, eps, T, max_depth, nz):
     return Qf, stats
 
 
-CASES = [
-    ("std4", "identity", 0.6),
+CASES_FAST = [
     ("std4", "diag", 1.5),  # turning-rich
-    ("corr5", "dense", 0.5),
     ("corr5", "dense", 2.2),  # divergence-rich
+]
+CASES_SLOW = [
+    ("std4", "identity", 0.6),
+    ("corr5", "dense", 0.5),
 ]
 
 
-@pytest.mark.parametrize("model_key,metric_key,eps", CASES)
+@pytest.mark.parametrize(
+    "model_key,metric_key,eps",
+    [pytest.param(*c) for c in CASES_FAST]
+    + [pytest.param(*c, marks=pytest.mark.slow) for c in CASES_SLOW],
+)
 def test_wavefront_equals_batched_c1(model_key, metric_key, eps):
     T, max_depth = 64, 6
     model, metric, K = build_case(model_key, metric_key)

@@ -107,6 +107,7 @@ def test_monolithic_warmup_and_sampling_retry():
     assert_identical(clean, injected)
 
 
+@pytest.mark.slow
 def test_block_stage_retry():
     # non-monolithic path: per-block stage dispatches
     from dynamichmc_tpu.parallel import chains as pchains
@@ -140,6 +141,7 @@ def test_block_stage_retry():
     assert_identical(clean, injected)
 
 
+@pytest.mark.slow
 def test_wavefront_retry():
     clean = _run(warmup_driver="wavefront")
     # wavefront warm dispatch is call 0; the budget loop starts at call >= 1
@@ -149,12 +151,14 @@ def test_wavefront_retry():
     assert_identical(clean, injected)
 
 
+@pytest.mark.slow
 def test_stratified_retry():
     clean = _run(stratify_sampling=2)
     injected = _run(stratify_sampling=2, flake={"sample_stratified": {1}})
     assert_identical(clean, injected)
 
 
+@pytest.mark.slow
 def test_keep_warmup_collect_retry(monkeypatch):
     import importlib
 
@@ -211,6 +215,7 @@ def test_retry_budget_exhausts():
     assert calls["n"] == 4  # initial attempt + 3 retries
 
 
+@pytest.mark.slow
 def test_retry_budget_is_per_dispatch():
     """4+ non-consecutive transient failures across one run must all recover
     (the round-2 counter never reset; ADVICE item 3)."""

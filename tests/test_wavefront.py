@@ -122,10 +122,13 @@ def test_wavefront_pooled_stepsize_epochal():
     ld = mvnormal(np.zeros(4), cov)
     res = run_chains(
         jax.random.PRNGKey(6), ld, 16, 400, dtype=jnp.float64,
+        # epochal pooled eps needs more DA updates than the other e2e
+        # tests' half schedules provide (one shared update per 16 global
+        # slots): keep a 3/4-length schedule here
         warmup_stages=default_warmup_stages(
             metric_kind="dense", pooled=True, pooled_stepsize=True,
-            init_steps=40, middle_steps=20, doubling_stages=3,
-            terminating_steps=25,
+            init_steps=75, middle_steps=25, doubling_stages=3,
+            terminating_steps=50,
         ),
         warmup_driver="wavefront",
     )
