@@ -602,7 +602,8 @@ def execute(
             if wfront_fn is None:
                 continue
             _, warm_done = wfront_fn(
-                key_fold(0), metric, carry0, jnp.int32(0), jnp.int32(0)
+                key_fold(0), metric, carry0, jnp.int32(0), jnp.int32(0),
+                jnp.int32(0),
             )
             jax.block_until_ready(warm_done)
     else:
@@ -716,6 +717,16 @@ def execute(
             wf_fn = programs.stage_wavefront
             if not schedule.update_metric[i] and programs.stage_wavefront_nowf is not None:
                 wf_fn = programs.stage_wavefront_nowf
+            # warmup depth clamp: active through every block but the last
+            # (WarmupSchedule.depth_clamp semantics; 0 = unclamped)
+            dl_block = jnp.int32(
+                schedule.depth_clamp
+                if (
+                    schedule.depth_clamp is not None
+                    and i < len(schedule.block_sizes) - 1
+                )
+                else 0
+            )
             carry = programs.wavefront_init(Q, metric, da, wf)
             g_prev = 0
             while True:
@@ -724,7 +735,7 @@ def execute(
                 def run_wf(carry_in=carry):
                     out = wf_fn(
                         stage_key, metric, carry_in, jnp.int32(n),
-                        jnp.int32(g_prev + wf_budget),
+                        jnp.int32(g_prev + wf_budget), dl_block,
                     )
                     jax.block_until_ready(out[1])
                     return out

@@ -163,6 +163,11 @@ def run_chains(
             raise ValueError(
                 "warmup_depth_clamp must be in 1..max_depth"
             )
+        if algorithm.turn_statistic_configuration != "generalized":
+            raise NotImplementedError(
+                "warmup_depth_clamp requires the batch-native drivers "
+                "(generalized turn statistic)"
+            )
         import dataclasses as _dc
 
         schedule = _dc.replace(schedule, depth_clamp=warmup_depth_clamp)

@@ -241,7 +241,20 @@ def make_wavefront_stage_driver(
         def wf_update(wf, _x, _mask):
             return wf
 
-    def stage(key, metric: Metric, carry, n_steps, g_stop):
+    def stage(key, metric: Metric, carry, n_steps, g_stop, depth_limit=None):
+        """``depth_limit`` (optional runtime scalar): cap doublings below the
+        static ``max_depth`` for every transition of this stage — the warmup
+        depth clamp (tree_batched.sample_tree_batched semantics; <= 0 means
+        unclamped). Each capped transition is still a valid NUTS kernel."""
+        if depth_limit is None:
+            dl = jnp.int32(max_depth)
+        else:
+            dl_in = jnp.asarray(depth_limit, jnp.int32)
+            dl = jnp.where(
+                dl_in <= 0,
+                jnp.int32(max_depth),
+                jnp.minimum(dl_in, max_depth),
+            )
         ops = make_tau_ops(metric)
         tau_len = ops.tau_len
         combine_dir = ops.combine_dir
@@ -436,7 +449,7 @@ def make_wavefront_stage_driver(
                 jnp.where(keep, new, old) for old, new in zip(tau, tau_c)
             )
             d = jnp.where(tree_done, d + 1, d)
-            hit_max = tree_done & ~turning_tr & (d >= max_depth)
+            hit_max = tree_done & ~turning_tr & (d >= dl)
 
             tr_done = invalid | turning_tr | hit_max
             waiting = waiting | (tree_done & ~turning_tr & ~hit_max)

@@ -49,6 +49,25 @@ def test_clamped_warmup_moments(pooled):
     assert acc.mean() > 0.7
 
 
+@pytest.mark.slow
+def test_clamped_wavefront_warmup_moments():
+    """End-to-end: the clamp is honored by the wavefront warmup driver too
+    (per-block ``depth_limit`` operand; engine.execute wiring)."""
+    ld, cov = _target()
+    stages = default_warmup_stages(metric_kind="dense")
+    res = run_chains(
+        jax.random.PRNGKey(12), ld, 24, 400, dtype=jnp.float64,
+        warmup_stages=stages, warmup_depth_clamp=3,
+        warmup_driver="wavefront",
+    )
+    qs = np.asarray(res.positions).reshape(-1, 5)
+    assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.08
+    assert np.abs(qs.mean(0) / np.sqrt(np.diag(cov))).max() < 0.08
+    assert int(np.asarray(res.tree_statistics.is_divergent).sum()) == 0
+    eps = np.asarray(res.eps)
+    assert (eps > 0.05).all() and (eps < 5).all()
+
+
 def test_clamp_validates_range():
     ld, _ = _target()
     with pytest.raises(ValueError, match="1..max_depth"):

@@ -58,7 +58,8 @@ def draw_wavefront_noise(seed, T, max_depth, K, metric, C):
     return WavefrontNoise(p=p, dirs=dirs, gumbel=gumbel, expo=expo)
 
 
-def run_wavefront(model, metric, q0, eps, T, max_depth, nz: WavefrontNoise):
+def run_wavefront(model, metric, q0, eps, T, max_depth, nz: WavefrontNoise,
+                  depth_limit=None):
     """T transitions per lane through the wavefront driver; returns the final
     carry (aggregates + final positions)."""
     C = q0.shape[0]
@@ -70,18 +71,21 @@ def run_wavefront(model, metric, q0, eps, T, max_depth, nz: WavefrontNoise):
     Q0 = jax.vmap(lambda q: evaluate(model, q))(q0)
     da0 = adaptation.init(jnp.full((C,), eps, Q0.q.dtype))
     carry = wavefront_init(Q0, metric, da0, jnp.zeros(()), max_depth)
+    dl = None if depth_limit is None else jnp.int32(depth_limit)
     out, all_done = jax.jit(
-        lambda c: stage(KEY, metric, c, jnp.int32(T), jnp.int32(10**9))
+        lambda c: stage(KEY, metric, c, jnp.int32(T), jnp.int32(10**9), dl)
     )(carry)
     assert bool(all_done)
     return out
 
 
-def run_batched_reference(model, metric, q0, eps, T, max_depth, nz):
+def run_batched_reference(model, metric, q0, eps, T, max_depth, nz,
+                          depth_limit=None):
     """The same T transitions through the batch-native driver (chained)."""
     algo = NUTS(max_depth=max_depth)
     C = q0.shape[0]
     Q0 = jax.vmap(lambda q: evaluate(model, q))(q0)
+    dl = None if depth_limit is None else jnp.int32(depth_limit)
 
     def step(Q, inp):
         p_t, d_t, g_t, e_t = inp
@@ -89,6 +93,7 @@ def run_batched_reference(model, metric, q0, eps, T, max_depth, nz):
             KEY, algo, model, metric, Q,
             jnp.full((C,), eps, Q.q.dtype),
             directions=d_t, p=p_t, noise=TreeNoise(g_t, e_t),
+            depth_limit=dl,
         )
         return Qn, stats
 
@@ -151,6 +156,46 @@ def test_wavefront_equals_batched_c1(model_key, metric_key, eps):
         np.asarray(stats.acceptance_rate).sum(0),
         rtol=1e-12, err_msg=f"{label}: summed acceptance",
     )
+
+
+@pytest.mark.parametrize(
+    "depth_limit,eps",
+    [(2, 0.6), (4, 0.15)],  # eps small enough that the clamp binds
+)
+def test_wavefront_clamped_equals_batched_c1(depth_limit, eps):
+    """The wavefront depth clamp (stage ``depth_limit`` operand) must match
+    the batch-native driver run with the same ``depth_limit`` draw-for-draw
+    — the exact-equivalence treatment of the warmup depth clamp."""
+    T, max_depth = 48, 6
+    model, metric, K = build_case("std4", "identity")
+    nz = draw_wavefront_noise(
+        zlib.crc32(f"wf-clamp/{depth_limit}".encode()),
+        T, max_depth, K, metric, C=1,
+    )
+    q0 = jnp.asarray(np.random.RandomState(7).randn(1, K))
+
+    wf = run_wavefront(
+        model, metric, q0, eps, T, max_depth, nz, depth_limit=depth_limit
+    )
+    Qf, stats = run_batched_reference(
+        model, metric, q0, eps, T, max_depth, nz, depth_limit=depth_limit
+    )
+    np.testing.assert_allclose(
+        np.asarray(wf["Q"].q), np.asarray(Qf.q), rtol=1e-12, atol=1e-12,
+        err_msg="clamped final q",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(wf["steps_total"]), np.asarray(stats.steps).sum(0),
+        err_msg="clamped total leapfrog steps",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(wf["maxd"]),
+        np.asarray(stats.reached_max_depth).sum(0),
+        err_msg="clamped max-depth (clamp-hit) count",
+    )
+    # the clamp must actually bind in this regime, and cap the step totals
+    assert int(np.asarray(wf["maxd"])[0]) > 0
+    assert int(np.asarray(stats.depth).max()) <= depth_limit
 
 
 def test_wavefront_lane_isolation():
