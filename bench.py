@@ -60,7 +60,13 @@ def _stages(metric_kind: str, warm: bool):
     # different warm schedule would leave the real run compiling its
     # sampling program inside the timed region (~10 s on this chip).
     del warm
-    pooled_eps = bool(int(os.environ.get("BENCH_POOLED_EPS", "1" if POOLED else "0")))
+    # PER-CHAIN dual-averaging stepsize is the default (BENCH_POOLED_EPS=0):
+    # it is the reference's own adaptation semantics AND, with the warmup
+    # depth clamp, the fastest measured config — per-chain DA lands each
+    # chain at its own acceptance optimum where NUTS draws anti-correlate
+    # (~2.26 ESS/draw vs ~1.07 pooled), which beats pooled eps's smaller
+    # wall clock. Measured round 3: 1.24M vs 858k min-param ESS/s.
+    pooled_eps = bool(int(os.environ.get("BENCH_POOLED_EPS", "0")))
     return default_warmup_stages(
         metric_kind=metric_kind, pooled=POOLED, pooled_stepsize=pooled_eps
     )
@@ -91,11 +97,12 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
 
     driver = "wavefront" if int(os.environ.get("BENCH_WAVEFRONT", "0")) else "sync"
     stratify = int(os.environ.get("BENCH_STRATIFY", "0"))
-    # warmup depth clamp (default 4, measured round 3: warmup straggler
-    # waste 65% -> 14%, headline 467k -> 830k ESS/s, zero divergences,
-    # statistical gates unchanged — tests/test_depth_clamp.py). Set
-    # BENCH_DEPTH_CLAMP=0 for unclamped reference-schedule semantics.
-    clamp = int(os.environ.get("BENCH_DEPTH_CLAMP", "4")) or None
+    # warmup depth clamp (default 3, measured round 3: cuts the unclamped
+    # per-chain-eps warmup from 16.5 s to ~2 s wall at IDENTICAL total ESS,
+    # zero divergences, statistical gates unchanged —
+    # tests/test_depth_clamp.py). Set BENCH_DEPTH_CLAMP=0 for unclamped
+    # reference-schedule semantics.
+    clamp = int(os.environ.get("BENCH_DEPTH_CLAMP", "3")) or None
     ld = _model(dim, fused)
     # warm-up compile run (not timed): same schedule => same cached programs
     if int(os.environ.get("BENCH_WARM", "1")):

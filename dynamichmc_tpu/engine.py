@@ -728,14 +728,21 @@ def execute(
                 else 0
             )
             carry = programs.wavefront_init(Q, metric, da, wf)
-            g_prev = 0
+            import numpy as _np
+
+            # "g" is a scalar on one device, a (n_devices,) per-device
+            # counter vector under a mesh (devices advance independently);
+            # the dispatch budget keys off the SLOWEST device so no device
+            # ever runs more than wf_budget iterations per dispatch
+            g_prev_v = None
             while True:
                 t0 = _time.perf_counter()
+                g_min = 0 if g_prev_v is None else int(g_prev_v.min())
 
-                def run_wf(carry_in=carry):
+                def run_wf(carry_in=carry, g_min=g_min):
                     out = wf_fn(
                         stage_key, metric, carry_in, jnp.int32(n),
-                        jnp.int32(g_prev + wf_budget), dl_block,
+                        jnp.int32(g_min + wf_budget), dl_block,
                     )
                     jax.block_until_ready(out[1])
                     return out
@@ -749,9 +756,11 @@ def execute(
                     on_retry=halve_wf,
                 )
                 wall = _time.perf_counter() - t0
-                g_now = int(carry["g"])
-                iters = max(g_now - g_prev, 1)
-                g_prev = g_now
+                g_now_v = _np.asarray(carry["g"]).reshape(-1).astype(_np.int64)
+                if g_prev_v is None:
+                    g_prev_v = _np.zeros_like(g_now_v)
+                iters = max(int((g_now_v - g_prev_v).max()), 1)
+                g_prev_v = g_now_v
                 per_iter = wall / iters
                 wf_budget = int(
                     max(256, min(2_000_000, target_seconds / max(per_iter, 1e-7)))
@@ -759,10 +768,10 @@ def execute(
                 if log is not None:
                     log(
                         f"warmup block {i + 1}/{len(schedule.block_sizes)} "
-                        f"(wavefront): {g_now} slots ({wall:.1f}s, "
-                        f"next budget {wf_budget})"
+                        f"(wavefront): {int(g_now_v.max())} slots "
+                        f"({wall:.1f}s, next budget {wf_budget})"
                     )
-                if bool(done):
+                if bool(_np.asarray(done).all()):
                     break
             Q, da, wf = carry["Q"], carry["da"], carry["wf"]
             totals = {
@@ -770,7 +779,11 @@ def execute(
                 "div": carry["div"],
                 "steps": carry["steps_total"],
                 "maxd": carry["maxd"],
-                "work": jnp.broadcast_to(carry["g"], carry["t"].shape),
+                # per-device slot counters expanded to their local lanes
+                # (numpy: only the host-side waste diagnostic reads this)
+                "work": _np.repeat(
+                    g_prev_v, carry["t"].shape[0] // len(g_prev_v)
+                ),
             }
             start = n
         else:
@@ -1428,8 +1441,9 @@ def build_programs_batched(
     (no vmap needed). Pooled vs per-chain metrics are carried by array rank;
     the metric update pools over the leading chain axis (+ mesh psum).
     ``wavefront=True`` additionally builds the aligned wavefront warmup
-    programs (tree_wavefront.py); ``monolithic=True`` builds the
-    whole-warmup single program that execute() prefers (mesh-less only)."""
+    programs (tree_wavefront.py; under a mesh each device runs its own
+    wavefront over its local lanes); ``monolithic=True`` builds the
+    whole-warmup single program that execute() prefers."""
     search = None
     if schedule.search is not None:
         search = wrap(make_search_driver_batched(ld, schedule.search), "search")

@@ -116,8 +116,11 @@ def run_chains(
     ``warmup_driver``: 'sync' (lockstep batch-native transitions) or
     'wavefront' (desynchronized aligned-wavefront warmup, tree_wavefront.py —
     removes the straggler tax when tree depths vary across chains; sampling
-    always uses the synchronized driver). Wavefront currently requires
-    ``mesh=None``.
+    always uses the synchronized driver). Under a ``mesh`` each device runs
+    its own wavefront over its local lanes (per-device slot counters, zero
+    cross-device sync inside the loop); per-chain stepsize adaptation only
+    (shared/pooled eps would need collectives inside device-divergent
+    loops).
 
     ``stratify_sampling=G`` (G > 1, per-chain stepsizes): sort lanes by
     adapted eps after warmup so each group's lockstep tree loop is bounded
@@ -151,11 +154,17 @@ def run_chains(
 
     if warmup_driver not in ("sync", "wavefront"):
         raise ValueError("warmup_driver must be 'sync' or 'wavefront'")
-    if warmup_driver == "wavefront" and mesh is not None:
-        raise NotImplementedError(
-            "the wavefront warmup driver does not support a mesh yet"
-        )
     schedule = WarmupSchedule.from_stages(tuple(warmup_stages))
+    if warmup_driver == "wavefront" and mesh is not None and schedule is not None:
+        from ..stepsize import PooledStepsize
+
+        if isinstance(schedule.adaptation, PooledStepsize):
+            # the epochal shared-eps update would need a psum inside
+            # device-divergent while loops; collectives must run in lockstep
+            raise NotImplementedError(
+                "wavefront warmup under a mesh requires per-chain stepsize "
+                "adaptation (pooled_stepsize=False)"
+            )
     if schedule is not None and warmup_depth_clamp is not None:
         # cap tree doublings during all warmup blocks but the last (see
         # WarmupSchedule.depth_clamp); sampling is never clamped
@@ -520,6 +529,73 @@ def _fast_programs_batched_cached(
             # consumes the (n_devices, ...) per-device pooled Welford states
             # directly; no shard_map needed for this tiny computation
             return jax.jit(fn)
+        if kind in ("wavefront", "wavefront_init"):
+            # Mesh-sharded wavefront: each device runs its OWN wavefront over
+            # its local lanes — per-device slot counters ("g" carried as a
+            # (n_devices,) array) and per-device while-loop trip counts, so a
+            # device whose lanes finish early stops immediately. Zero
+            # cross-device communication inside the loop; that independence
+            # is exactly the group-per-device decomposition the stratified
+            # sampler uses. Pooled (shared) stepsize is rejected upstream:
+            # its epochal update would need a psum inside device-divergent
+            # while loops (collectives must run in lockstep — deadlock).
+            from ..tree_wavefront import wavefront_carry_specs
+
+            carry_specs = wavefront_carry_specs(P, CHAIN_AXIS)
+            peel = functools.partial(jax.tree_util.tree_map, lambda x: x[0])
+            unpeel = functools.partial(
+                jax.tree_util.tree_map, lambda x: x[None]
+            )
+            if kind == "wavefront":
+                inner_wf = fn
+
+                def fn_wavefront(key, metric, carry, n_steps, g_stop,
+                                 depth_limit):
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index(CHAIN_AXIS)
+                    )
+                    c = dict(carry)
+                    c["g"] = c["g"][0]
+                    if pooled:
+                        c["wf"] = peel(c["wf"])
+                    out, done = inner_wf(
+                        key, metric, c, n_steps, g_stop, depth_limit
+                    )
+                    out = dict(out)
+                    out["g"] = out["g"][None]
+                    if pooled:
+                        out["wf"] = unpeel(out["wf"])
+                    return out, done[None]
+
+                f = jax.shard_map(
+                    fn_wavefront,
+                    mesh=mesh,
+                    in_specs=(P(), metric_spec, carry_specs, P(), P(), P()),
+                    out_specs=(carry_specs, P(CHAIN_AXIS)),
+                    check_vma=False,
+                )
+                return jax.jit(f)
+            inner_wi = fn
+
+            def fn_winit(Q, metric, da, wf):
+                if pooled:
+                    wf = peel(wf)
+                c = dict(inner_wi(Q, metric, da, wf))
+                c["g"] = c["g"][None]
+                if pooled:
+                    c["wf"] = unpeel(c["wf"])
+                return c
+
+            f = jax.shard_map(
+                fn_winit,
+                mesh=mesh,
+                in_specs=(
+                    P(CHAIN_AXIS), metric_spec, P(CHAIN_AXIS), P(CHAIN_AXIS),
+                ),
+                out_specs=carry_specs,
+                check_vma=False,
+            )
+            return jax.jit(f)
         if kind in ("search", "stage", "sample", "warmup_mono"):
             inner = fn
 

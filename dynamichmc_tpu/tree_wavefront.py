@@ -136,6 +136,36 @@ def welford_update_pooled_masked(state: WelfordState, x, mask):
     )
 
 
+# Wavefront carry layout, shared with the shard_map spec builder below.
+# "g" is the global slot counter: a scalar on one device; under a mesh each
+# device advances its OWN counter (that independence IS the group-per-device
+# win — no cross-device depth/completion sync at all).
+_CARRY_KEYS = (
+    "g", "t", "need_restart", "waiting", "building",
+    "da", "wf", "acc_sum", "div", "steps_total", "maxd",
+    "acc_ep_sum", "acc_ep_n",
+    "Q", "eps_l", "dirs", "pi0", "d", "is_fwd", "z_minus", "z_plus",
+    "prop_q", "prop_ld", "prop_grad", "omega", "tau", "log_sum", "steps_tr",
+    "tree_g0", "z", "stack", "omega_adj", "best_score", "best_q", "best_ld",
+    "best_grad", "best_pi", "lsum_adj", "steps_adj",
+)
+
+
+def wavefront_carry_specs(P, chain_axis):
+    """``shard_map`` partition-spec prefix tree for the wavefront carry.
+
+    Every per-chain leaf shards its leading (C) axis; the (S, C, K) merge
+    stacks shard axis 1; the per-device slot counter "g" is carried as a
+    (n_devices,) array (one element per shard); the epochal pooled-eps
+    accumulators stay replicated (they are inert under per-chain adaptation,
+    the only stepsize mode the mesh wavefront supports)."""
+    specs = {k: P(chain_axis) for k in _CARRY_KEYS}
+    specs["stack"] = P(None, chain_axis)
+    specs["acc_ep_sum"] = P()
+    specs["acc_ep_n"] = P()
+    return specs
+
+
 def wavefront_init(
     Q: EvaluatedPoint, metric: Metric, da_state, welford, max_depth: int
 ):
@@ -149,7 +179,7 @@ def wavefront_init(
     false = jnp.zeros((C,), bool)
     zK = jnp.zeros((C, K), dtype)
     edge = _Edge(q=Q.q, p=zK, grad=Q.grad, ld=Q.logdensity)
-    return {
+    carry = {
         "g": jnp.int32(0),
         "t": zeros_i,
         "need_restart": jnp.ones((C,), bool),
@@ -194,6 +224,8 @@ def wavefront_init(
         "lsum_adj": zeros,
         "steps_adj": zeros_i,
     }
+    assert set(carry) == set(_CARRY_KEYS)  # keep the spec builder in sync
+    return carry
 
 
 def make_wavefront_stage_driver(

@@ -23,9 +23,14 @@ def host_fingerprint() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
+                if not line.strip():
+                    break  # end of the first processor block
+                # model name AND the feature-flag line (x86 "flags", arm
+                # "Features") — model name alone collides across hosts whose
+                # hypervisors mask different feature sets, which is exactly
+                # what XLA:CPU AOT specializes on
                 if line.startswith(("flags", "model name", "Features")):
                     parts.append(line.strip())
-                    break
     except OSError:
         parts.append(platform.processor() or "")
     return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]

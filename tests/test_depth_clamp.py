@@ -28,12 +28,18 @@ def _target(dim=5, seed=4):
 
 
 @pytest.mark.parametrize(
-    "pooled", [pytest.param(False, marks=pytest.mark.slow), True]
+    "pooled,pooled_eps",
+    [
+        pytest.param(False, False, marks=pytest.mark.slow),
+        (True, True),
+        # pooled metric + PER-CHAIN eps: the TPU headline config
+        (True, False),
+    ],
 )
-def test_clamped_warmup_moments(pooled):
+def test_clamped_warmup_moments(pooled, pooled_eps):
     ld, cov = _target()
     stages = default_warmup_stages(
-        metric_kind="dense", pooled=pooled, pooled_stepsize=pooled
+        metric_kind="dense", pooled=pooled, pooled_stepsize=pooled_eps
     )
     res = run_chains(
         jax.random.PRNGKey(11), ld, 24, 400, dtype=jnp.float64,

@@ -93,6 +93,55 @@ def test_pooled_stepsize_on_mesh_is_globally_shared():
     )
 
 
+def test_wavefront_warmup_on_mesh():
+    """Mesh-sharded wavefront warmup: each device runs its own wavefront
+    over its local lanes (per-device slot counters, no cross-device sync
+    inside the loop). Per-chain adaptation; pooled metric also exercised."""
+    mesh = chain_mesh()
+    cov = np.diag([0.5, 1.0, 2.0])
+    res = run_chains(
+        jax.random.PRNGKey(8),
+        mvnormal(np.zeros(3), cov),
+        n_chains=16,
+        n_samples=200,
+        dtype=jnp.float64,
+        mesh=mesh,
+        warmup_driver="wavefront",
+    )
+    assert res.positions.shape == (16, 200, 3)
+    eps = np.asarray(res.eps)
+    assert eps.shape == (16,) and (eps > 0).all()
+    assert len(np.unique(eps)) > 1  # per-chain adaptation
+    qs = np.asarray(res.positions).reshape(-1, 3)
+    np.testing.assert_allclose(qs.std(0), np.sqrt(np.diag(cov)), rtol=0.15)
+    assert np.abs(qs.mean(0)).max() < 0.3
+
+    # pooled METRIC (shared, Chan-combined across devices) still works with
+    # the wavefront — only pooled STEPSIZE is rejected
+    res2 = run_chains(
+        jax.random.PRNGKey(9),
+        mvnormal(np.zeros(3), cov),
+        n_chains=16,
+        n_samples=100,
+        dtype=jnp.float64,
+        mesh=mesh,
+        warmup_driver="wavefront",
+        warmup_stages=default_warmup_stages(pooled=True),
+    )
+    m_inv = np.asarray(res2.metric.m_inv)
+    assert m_inv.shape == (3,)
+    np.testing.assert_allclose(m_inv, np.diag(cov), rtol=0.5)
+
+    with pytest.raises(NotImplementedError, match="per-chain stepsize"):
+        run_chains(
+            jax.random.PRNGKey(10), std_normal(3), n_chains=16, n_samples=10,
+            mesh=mesh, warmup_driver="wavefront",
+            warmup_stages=default_warmup_stages(
+                pooled=True, pooled_stepsize=True
+            ),
+        )
+
+
 def test_unpooled_metrics_differ():
     res = run_chains(
         jax.random.PRNGKey(3), std_normal(3), n_chains=4, n_samples=50,
