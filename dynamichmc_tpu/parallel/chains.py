@@ -45,6 +45,21 @@ def chain_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (CHAIN_AXIS,))
 
 
+@functools.lru_cache(maxsize=32)
+def _default_init_program(ld: LogDensity, n_chains: int, dtype_name: str):
+    """Fused default initialization: key split + uniform[-2,2] positions +
+    batched evaluate as ONE jitted program (cached per (model, C, dtype))."""
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.jit
+    def f(key):
+        keys = jax.random.split(key, n_chains)
+        q = jax.vmap(lambda k: random_position(k, ld.dim, dtype))(keys)
+        return jax.vmap(lambda qq: evaluate(ld, qq))(q)
+
+    return f
+
+
 def init_chain_states(
     key: jax.Array,
     ld: LogDensity,
@@ -61,12 +76,18 @@ def init_chain_states(
     the whole batch and raises ``DynamicHMCError`` naming the bad chains.
     """
     if q is None:
-        keys = jax.random.split(key, n_chains)
-        q = jax.vmap(lambda k: random_position(k, ld.dim, dtype))(keys)
-    q = jnp.asarray(q, dtype)
-    if q.shape != (n_chains, ld.dim):
-        raise ValueError(f"q must have shape {(n_chains, ld.dim)}, got {q.shape}")
-    Q = jax.jit(jax.vmap(lambda qq: evaluate(ld, qq)))(q)
+        # ONE fused dispatch (key split + positions + evaluate): the eager
+        # three-dispatch chain serialized ~0.7 s of tunnel RPC latency into
+        # the timed window (the strict-validation transfer below blocks on
+        # the whole pipeline)
+        Q = _default_init_program(ld, n_chains, jnp.dtype(dtype).name)(key)
+    else:
+        q = jnp.asarray(q, dtype)
+        if q.shape != (n_chains, ld.dim):
+            raise ValueError(
+                f"q must have shape {(n_chains, ld.dim)}, got {q.shape}"
+            )
+        Q = jax.jit(jax.vmap(lambda qq: evaluate(ld, qq)))(q)
     lds = np.asarray(Q.logdensity)
     bad = np.nonzero(~np.isfinite(lds))[0]
     if bad.size:
