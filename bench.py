@@ -103,6 +103,13 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     # tests/test_depth_clamp.py). Set BENCH_DEPTH_CLAMP=0 for unclamped
     # reference-schedule semantics.
     clamp = int(os.environ.get("BENCH_DEPTH_CLAMP", "3")) or None
+    # BENCH_CLAMP_TAIL (default 25 = half the 50-step final block): clamp
+    # the first N steps of the final eps-only block too. The DA restart
+    # against the just-updated metric builds the deepest trees of the whole
+    # warmup (~270 slots/step measured); clamping the transient's head cut
+    # the headline wall 3.49 -> 2.50 s at IDENTICAL total ESS and zero
+    # divergences — the unclamped tail still re-adapts eps before sampling.
+    clamp_tail = int(os.environ.get("BENCH_CLAMP_TAIL", "25")) if clamp else 0
     ld = _model(dim, fused)
     # warm-up compile run (not timed): same schedule => same cached programs
     if int(os.environ.get("BENCH_WARM", "1")):
@@ -113,7 +120,7 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
             jax.random.PRNGKey(9), ld, n_chains, n_samples,
             warmup_stages=_stages(metric_kind, warm=True), dtype=jnp.float32,
             warmup_driver=driver, stratify_sampling=stratify,
-            warmup_depth_clamp=clamp,
+            warmup_depth_clamp=clamp, warmup_depth_clamp_tail=clamp_tail,
         ).positions.block_until_ready()
     log = (
         (lambda m: print(f"[bench] {m}", file=sys.stderr))
@@ -125,7 +132,7 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
         jax.random.PRNGKey(0), ld, n_chains, n_samples, dtype=jnp.float32,
         warmup_stages=_stages(metric_kind, warm=False), log=log,
         warmup_driver=driver, stratify_sampling=stratify,
-        warmup_depth_clamp=clamp,
+        warmup_depth_clamp=clamp, warmup_depth_clamp_tail=clamp_tail,
     )
     if log is not None:
         log(f"run_chains returned at {time.perf_counter() - t0:.2f}s")

@@ -290,6 +290,13 @@ class WarmupSchedule:
     # adapts eps under the unclamped kernel. Any cap is a valid NUTS kernel
     # — only the adaptation trajectory changes (sampling is never clamped).
     depth_clamp: Optional[int] = None
+    # extend the clamp this many steps INTO the final block (monolithic
+    # driver only). The final block re-adapts eps against the just-updated
+    # metric, and the dual-averaging restart transient builds the deepest
+    # trees of the whole warmup (measured ~270 slots/step on the headline
+    # config); clamping its head reclaims that while the tail still adapts
+    # eps under the unclamped kernel before sampling.
+    depth_clamp_tail: int = 0
 
     @staticmethod
     def from_stages(stages: Tuple[WarmupStage, ...]) -> Optional["WarmupSchedule"]:
@@ -1290,6 +1297,13 @@ def make_monolithic_warmup_driver(
     # WarmupSchedule.depth_clamp); None disables it at trace time
     clamp = schedule.depth_clamp
     clamp_until = cums[-2] if len(cums) > 1 else 0
+    if clamp is not None and schedule.depth_clamp_tail:
+        # clamp the head of the final block too (DA-restart transient);
+        # never the whole block — the tail must re-adapt eps unclamped
+        clamp_until = min(
+            clamp_until + int(schedule.depth_clamp_tail),
+            cums[-1] - 1,
+        )
 
     def in_metric_block(i):
         flag = jnp.zeros((), bool)

@@ -123,6 +123,7 @@ def run_chains(
     warmup_driver: str = "sync",
     stratify_sampling: int = 0,
     warmup_depth_clamp: Optional[int] = None,
+    warmup_depth_clamp_tail: int = 0,
 ) -> MCMCResult:
     """Run ``n_chains`` independently-warmed NUTS chains, batched on device.
 
@@ -200,7 +201,15 @@ def run_chains(
             )
         import dataclasses as _dc
 
-        schedule = _dc.replace(schedule, depth_clamp=warmup_depth_clamp)
+        schedule = _dc.replace(
+            schedule,
+            depth_clamp=warmup_depth_clamp,
+            # optionally clamp the head of the final block too (the
+            # DA-restart transient against the just-updated metric builds
+            # the deepest trees of the whole warmup); the tail always
+            # re-adapts eps under the unclamped kernel
+            depth_clamp_tail=int(warmup_depth_clamp_tail),
+        )
     if schedule is not None:
         return _run_chains_fast(
             schedule, ld, algorithm, n_samples, states, chain_keys, mesh,

@@ -55,6 +55,28 @@ def test_clamped_warmup_moments(pooled, pooled_eps):
     assert acc.mean() > 0.7
 
 
+def test_clamp_tail_moments():
+    """Extending the clamp into the head of the final eps-only block (the
+    DA-restart transient, run_chains(warmup_depth_clamp_tail=)) must leave
+    adapted eps and sampling moments clean — the tail of the block still
+    re-adapts eps under the unclamped kernel."""
+    ld, cov = _target()
+    stages = default_warmup_stages(metric_kind="dense", pooled=True)
+    res = run_chains(
+        jax.random.PRNGKey(13), ld, 24, 400, dtype=jnp.float64,
+        warmup_stages=stages, warmup_depth_clamp=3,
+        warmup_depth_clamp_tail=25,
+    )
+    qs = np.asarray(res.positions).reshape(-1, 5)
+    assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.08
+    assert np.abs(qs.mean(0) / np.sqrt(np.diag(cov))).max() < 0.08
+    assert int(np.asarray(res.tree_statistics.is_divergent).sum()) == 0
+    eps = np.asarray(res.eps)
+    assert (eps > 0.05).all() and (eps < 5).all()
+    acc = np.asarray(res.tree_statistics.acceptance_rate)
+    assert acc.mean() > 0.7
+
+
 @pytest.mark.slow
 def test_clamped_wavefront_warmup_moments():
     """End-to-end: the clamp is honored by the wavefront warmup driver too

@@ -142,6 +142,29 @@ def test_wavefront_warmup_on_mesh():
         )
 
 
+def test_fused_default_init_matches_eager_construction():
+    """The fused one-dispatch default init (chains._default_init_program)
+    must produce bitwise the same states as the eager three-step
+    construction it replaced (split -> random_position -> evaluate)."""
+    from dynamichmc_tpu.hamiltonian import evaluate
+    from dynamichmc_tpu.warmup import random_position
+
+    ld = mvnormal(np.zeros(3), np.diag([0.5, 1.0, 2.0]))
+    key = jax.random.PRNGKey(42)
+    st = init_chain_states(key, ld, 8, dtype=jnp.float64)
+    keys = jax.random.split(key, 8)
+    q_ref = jax.vmap(lambda k: random_position(k, ld.dim, jnp.float64))(keys)
+    Q_ref = jax.vmap(lambda qq: evaluate(ld, qq))(q_ref)
+    np.testing.assert_array_equal(np.asarray(st.Q.q), np.asarray(Q_ref.q))
+    # jit fusion may re-associate the logdensity reduction: ulp-level only
+    np.testing.assert_allclose(
+        np.asarray(st.Q.logdensity), np.asarray(Q_ref.logdensity), rtol=1e-12
+    )
+    # explicit-q path unchanged
+    st2 = init_chain_states(key, ld, 8, q=q_ref, dtype=jnp.float64)
+    np.testing.assert_array_equal(np.asarray(st2.Q.q), np.asarray(Q_ref.q))
+
+
 def test_unpooled_metrics_differ():
     res = run_chains(
         jax.random.PRNGKey(3), std_normal(3), n_chains=4, n_samples=50,
