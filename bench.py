@@ -97,12 +97,12 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
 
     driver = "wavefront" if int(os.environ.get("BENCH_WAVEFRONT", "0")) else "sync"
     stratify = int(os.environ.get("BENCH_STRATIFY", "0"))
-    # warmup depth clamp (default 3, measured round 3: cuts the unclamped
-    # per-chain-eps warmup from 16.5 s to ~2 s wall at IDENTICAL total ESS,
-    # zero divergences, statistical gates unchanged —
-    # tests/test_depth_clamp.py). Set BENCH_DEPTH_CLAMP=0 for unclamped
-    # reference-schedule semantics.
-    clamp = int(os.environ.get("BENCH_DEPTH_CLAMP", "3")) or None
+    # warmup depth clamp (default 2; round-3 sweep with the tail clamp at
+    # IDENTICAL total ESS and zero divergences: clamp 3 = 1.89M, clamp 2 =
+    # 2.09M, clamp 1 = 1.62M ESS/s — clamp 1's poorly-settled eps spread
+    # degrades SAMPLING, 1.2 -> 2.0 s at 77% waste; see BENCH_NOTES.md).
+    # Set BENCH_DEPTH_CLAMP=0 for unclamped reference-schedule semantics.
+    clamp = int(os.environ.get("BENCH_DEPTH_CLAMP", "2")) or None
     # BENCH_CLAMP_TAIL (default 25 = half the 50-step final block): clamp
     # the first N steps of the final eps-only block too. The DA restart
     # against the just-updated metric builds the deepest trees of the whole

@@ -201,6 +201,14 @@ def run_chains(
             )
         import dataclasses as _dc
 
+        if warmup_depth_clamp_tail and warmup_driver == "wavefront":
+            # the wavefront warmup applies the clamp per BLOCK (a scalar
+            # depth_limit operand per dispatch); a within-block split would
+            # need a per-lane release step inside the device-divergent loop
+            raise NotImplementedError(
+                "warmup_depth_clamp_tail requires the sync (monolithic) "
+                "warmup driver"
+            )
         schedule = _dc.replace(
             schedule,
             depth_clamp=warmup_depth_clamp,

@@ -28,22 +28,23 @@ def _target(dim=5, seed=4):
 
 
 @pytest.mark.parametrize(
-    "pooled,pooled_eps",
+    "pooled,pooled_eps,clamp",
     [
-        pytest.param(False, False, marks=pytest.mark.slow),
-        (True, True),
-        # pooled metric + PER-CHAIN eps: the TPU headline config
-        (True, False),
+        pytest.param(False, False, 3, marks=pytest.mark.slow),
+        (True, True, 3),
+        # pooled metric + PER-CHAIN eps at clamp 2: the TPU headline config
+        (True, False, 2),
+        pytest.param(True, False, 3, marks=pytest.mark.slow),
     ],
 )
-def test_clamped_warmup_moments(pooled, pooled_eps):
+def test_clamped_warmup_moments(pooled, pooled_eps, clamp):
     ld, cov = _target()
     stages = default_warmup_stages(
         metric_kind="dense", pooled=pooled, pooled_stepsize=pooled_eps
     )
     res = run_chains(
         jax.random.PRNGKey(11), ld, 24, 400, dtype=jnp.float64,
-        warmup_stages=stages, warmup_depth_clamp=3,
+        warmup_stages=stages, warmup_depth_clamp=clamp,
     )
     qs = np.asarray(res.positions).reshape(-1, 5)
     assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.08
@@ -102,4 +103,14 @@ def test_clamp_validates_range():
         run_chains(
             jax.random.PRNGKey(0), ld, 8, 16, dtype=jnp.float64,
             warmup_depth_clamp=99,
+        )
+
+
+def test_clamp_tail_rejects_wavefront():
+    ld, _ = _target()
+    with pytest.raises(NotImplementedError, match="sync"):
+        run_chains(
+            jax.random.PRNGKey(0), ld, 8, 16, dtype=jnp.float64,
+            warmup_depth_clamp=3, warmup_depth_clamp_tail=10,
+            warmup_driver="wavefront",
         )
