@@ -103,12 +103,12 @@ def test_wavefront_warmup_on_mesh():
         jax.random.PRNGKey(8),
         mvnormal(np.zeros(3), cov),
         n_chains=16,
-        n_samples=200,
+        n_samples=150,
         dtype=jnp.float64,
         mesh=mesh,
         warmup_driver="wavefront",
     )
-    assert res.positions.shape == (16, 200, 3)
+    assert res.positions.shape == (16, 150, 3)
     eps = np.asarray(res.eps)
     assert eps.shape == (16,) and (eps > 0).all()
     assert len(np.unique(eps)) > 1  # per-chain adaptation
@@ -122,7 +122,7 @@ def test_wavefront_warmup_on_mesh():
         jax.random.PRNGKey(9),
         mvnormal(np.zeros(3), cov),
         n_chains=16,
-        n_samples=100,
+        n_samples=50,
         dtype=jnp.float64,
         mesh=mesh,
         warmup_driver="wavefront",

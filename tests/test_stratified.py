@@ -24,11 +24,20 @@ def _target(dim=5, seed=0):
     return mvnormal(np.zeros(dim), cov), cov
 
 
+# half-length schedule for the fast tier: the stratification gates check
+# moments, lane-order restoration and warmup-untouched equalities — none
+# depend on the full 900-step schedule (same trim as the wavefront tier)
+_HALF_STAGES = default_warmup_stages(
+    metric_kind="dense", init_steps=40, middle_steps=20, doubling_stages=3,
+    terminating_steps=25,
+)
+
+
 def test_stratified_moments_and_lane_order():
     ld, cov = _target()
     res = run_chains(
         jax.random.PRNGKey(1), ld, 24, 400, dtype=jnp.float64,
-        warmup_stages=default_warmup_stages(metric_kind="dense"),
+        warmup_stages=_HALF_STAGES,
         stratify_sampling=4,
     )
     q = np.asarray(res.positions)
@@ -42,7 +51,7 @@ def test_stratified_moments_and_lane_order():
     # in the caller's lane order
     res0 = run_chains(
         jax.random.PRNGKey(1), ld, 24, 8, dtype=jnp.float64,
-        warmup_stages=default_warmup_stages(metric_kind="dense"),
+        warmup_stages=_HALF_STAGES,
     )
     np.testing.assert_array_equal(np.asarray(res.eps), np.asarray(res0.eps))
     np.testing.assert_array_equal(
@@ -66,7 +75,9 @@ def test_stratified_pooled_eps_falls_through():
     res = run_chains(
         jax.random.PRNGKey(2), ld, 16, 300, dtype=jnp.float64,
         warmup_stages=default_warmup_stages(
-            metric_kind="dense", pooled=True, pooled_stepsize=True
+            metric_kind="dense", pooled=True, pooled_stepsize=True,
+            init_steps=40, middle_steps=20, doubling_stages=3,
+            terminating_steps=25,
         ),
         stratify_sampling=4,
     )
@@ -94,7 +105,7 @@ def test_stratified_on_mesh_permutation():
     ld, cov = _target()
     kwargs = dict(
         dtype=jnp.float64,
-        warmup_stages=default_warmup_stages(metric_kind="dense"),
+        warmup_stages=_HALF_STAGES,
         mesh=mesh,
     )
     res = run_chains(

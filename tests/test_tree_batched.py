@@ -85,7 +85,7 @@ def test_per_lane_isolation():
 
 
 def test_stationarity_all_metric_representations():
-    k, c = 3, 4096
+    k, c = 3, 2048  # 2048 lanes keep the rtol-0.2 gates well-powered
     rng = np.random.RandomState(3)
     a = rng.randn(k, k)
     cov = a @ a.T + k * np.eye(k)

@@ -146,28 +146,38 @@ def check_detailed_balance(ops, z0, depth, atol=1e-8):
 
 
 @pytest.mark.parametrize(
-    "depth", [1, 2, 3, 4, pytest.param(5, marks=pytest.mark.slow)]
+    "depth",
+    [1, 2, 3, pytest.param(4, marks=pytest.mark.slow),
+     pytest.param(5, marks=pytest.mark.slow)],
 )
 def test_detailed_balance_plain(depth):
     check_detailed_balance(make_dummy_ops(), 0, depth)
 
 
 @pytest.mark.parametrize(
-    "depth", [1, 2, 3, 4, pytest.param(5, marks=pytest.mark.slow)]
+    "depth",
+    [1, 2, 3, pytest.param(4, marks=pytest.mark.slow),
+     pytest.param(5, marks=pytest.mark.slow)],
 )
 def test_detailed_balance_turning(depth):
     check_detailed_balance(make_dummy_ops(turning=(1, 2)), 3, depth)
 
 
 @pytest.mark.parametrize(
-    "depth", [1, 2, 3, 4, 5, pytest.param(6, marks=pytest.mark.slow)]
+    "depth",
+    [1, 2, 3, pytest.param(4, marks=pytest.mark.slow),
+     pytest.param(5, marks=pytest.mark.slow),
+     pytest.param(6, marks=pytest.mark.slow)],
 )
 def test_detailed_balance_divergent(depth):
     check_detailed_balance(make_dummy_ops(divergent=(10, 11)), 3, depth)
 
 
 @pytest.mark.parametrize(
-    "depth", [1, 2, 3, 4, 5, pytest.param(6, marks=pytest.mark.slow)]
+    "depth",
+    [1, 2, 3, pytest.param(4, marks=pytest.mark.slow),
+     pytest.param(5, marks=pytest.mark.slow),
+     pytest.param(6, marks=pytest.mark.slow)],
 )
 def test_detailed_balance_both(depth):
     check_detailed_balance(

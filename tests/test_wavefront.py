@@ -16,6 +16,7 @@ from dynamichmc_tpu.parallel import run_chains
 from dynamichmc_tpu.warmup import default_warmup_stages
 
 
+@pytest.mark.slow
 def test_wavefront_end_to_end_matches_sync_statistics():
     rng = np.random.default_rng(5)
     A = rng.normal(size=(4, 4))
@@ -113,6 +114,7 @@ def test_wavefront_guards():
         run_chains(jax.random.PRNGKey(3), ld, 8, 10, warmup_driver="turbo")
 
 
+@pytest.mark.slow
 def test_wavefront_pooled_stepsize_epochal():
     # epochal pooled eps: completed-transition acceptances pool into ONE
     # shared dual-averaging update per epoch of global slots
