@@ -604,12 +604,18 @@ def execute(
     if programs.warmup_mono is not None:
         metric = promote_metric(metric, schedule.metric_kind)
         eps_run0 = strong(adaptation.current(da0))
-        warm = programs.warmup_mono(
-            key_fold(0), Q, metric, da0, wf0, eps_run0, jnp.int32(0), jnp.int32(0)
-        )
-        jax.block_until_ready(warm[5]["acc_sum"])
-        if log is not None:
-            log(f"warm dispatch done: {_time.perf_counter() - t_start:.2f}s")
+        # the zero-step warm dispatch exists to trigger the (possibly
+        # minutes-long) compile outside the adaptive chunk sizing; when a
+        # prior execute() of this same program already recorded a per-step
+        # cost, the program is compiled in-process — skip the extra RPC
+        if (id(programs.warmup_mono), sum(schedule.block_sizes)) not in _PER_STEP_SEEN:
+            warm = programs.warmup_mono(
+                key_fold(0), Q, metric, da0, wf0, eps_run0, jnp.int32(0),
+                jnp.int32(0),
+            )
+            jax.block_until_ready(warm[5]["acc_sum"])
+            if log is not None:
+                log(f"warm dispatch done: {_time.perf_counter() - t_start:.2f}s")
     elif programs.stage_wavefront is not None:
         carry0 = programs.wavefront_init(Q, metric, da0, wf0)
         for wfront_fn in (programs.stage_wavefront, programs.stage_wavefront_nowf):

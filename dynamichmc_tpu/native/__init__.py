@@ -45,6 +45,8 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        if os.environ.get("DYNHMC_NO_NATIVE"):
+            return None  # kill-switch: force the numpy fallback
         if not os.path.exists(_SO) and not _build():
             return None
         try:

@@ -25,6 +25,11 @@ from dynamichmc_tpu.models import (
     std_normal,
 )
 
+# NOTE: every test in this module runs in a FRESH child interpreter (see
+# tests/conftest.py "Process isolation for the statistical correctness
+# gates") to sidestep a process-state-dependent jaxlib compile/serialize
+# crash observed only in long-lived full-suite processes.
+
 
 @pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1, 2])
