@@ -110,6 +110,17 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     # the headline wall 3.49 -> 2.50 s at IDENTICAL total ESS and zero
     # divergences — the unclamped tail still re-adapts eps before sampling.
     clamp_tail = int(os.environ.get("BENCH_CLAMP_TAIL", "25")) if clamp else 0
+    # BENCH_MAX_DEPTH (0 = reference default 10): cap the sampler's tree
+    # depth outright — max_depth is an ordinary NUTS parameter (any cap is a
+    # valid kernel), and the sampling phase pays the same lockstep straggler
+    # tax the warmup clamp reclaimed. Sweep wall AND total ESS before
+    # adopting a value: shorter trajectories correlate draws.
+    algo_kw = {}
+    max_depth = int(os.environ.get("BENCH_MAX_DEPTH", "0"))
+    if max_depth:
+        from dynamichmc_tpu.nuts import NUTS
+
+        algo_kw["algorithm"] = NUTS(max_depth=max_depth)
     ld = _model(dim, fused)
     # warm-up compile run (not timed): same schedule => same cached programs
     if int(os.environ.get("BENCH_WARM", "1")):
@@ -121,6 +132,7 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
             warmup_stages=_stages(metric_kind, warm=True), dtype=jnp.float32,
             warmup_driver=driver, stratify_sampling=stratify,
             warmup_depth_clamp=clamp, warmup_depth_clamp_tail=clamp_tail,
+            **algo_kw,
         ).positions.block_until_ready()
     log = (
         (lambda m: print(f"[bench] {m}", file=sys.stderr))
@@ -133,6 +145,7 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
         warmup_stages=_stages(metric_kind, warm=False), log=log,
         warmup_driver=driver, stratify_sampling=stratify,
         warmup_depth_clamp=clamp, warmup_depth_clamp_tail=clamp_tail,
+        **algo_kw,
     )
     if log is not None:
         log(f"run_chains returned at {time.perf_counter() - t0:.2f}s")
@@ -213,7 +226,8 @@ def main():
         f"[bench] backend={backend} chains={n_chains} dim={dim} "
         f"samples={n_samples} wall={seconds:.2f}s (incl. warmup) "
         f"divergences={divergences} leapfrog_grad_evals/s={grad_evals_per_sec:.3g}\n"
-        f"[bench] pooled ESS/s: min={ess_min_rate:.4g} mean={ess_mean_rate:.4g}\n"
+        f"[bench] pooled ESS/s: min={ess_min_rate:.4g} mean={ess_mean_rate:.4g} "
+        f"(total min ESS={ess_min_rate * seconds:.4g})\n"
         f"[bench] cpu 1-chain baseline ESS/s: min={base_min_rate:.4g} "
         f"mean={base_mean_rate:.4g} (wall {base_seconds:.2f}s)",
         file=sys.stderr,
