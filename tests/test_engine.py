@@ -52,7 +52,12 @@ def test_schedule_normalization_accepts_reference_schedules():
 
 def _run_with_target(target_seconds):
     ld = std_normal(3)
-    schedule = WarmupSchedule.from_stages(default_warmup_stages())
+    # short schedule: the gate is chunk-boundary invariance, which any
+    # multi-block schedule exercises — not the full 900-step default
+    schedule = WarmupSchedule.from_stages(default_warmup_stages(
+        init_steps=30, middle_steps=20, doubling_stages=3,
+        terminating_steps=20,
+    ))
     programs = _fast_programs(ld, NUTS(), schedule, None)
     states = init_chain_states(jax.random.PRNGKey(0), ld, 4, dtype=jnp.float64)
     chain_keys = jax.random.split(jax.random.PRNGKey(1), 4)
@@ -64,7 +69,7 @@ def _run_with_target(target_seconds):
         states.Q,
         states.metric,
         states.eps,
-        n_samples=48,
+        n_samples=32,
         target_seconds=target_seconds,
     )
     return np.asarray(inference[1]), np.asarray(eps)

@@ -20,7 +20,7 @@ from dynamichmc_tpu.stepsize import InitialStepsizeSearch
 from dynamichmc_tpu.warmup import TuningNUTS
 
 LD = from_logdensity_fn(2, lambda q: -0.5 * jnp.sum(q**2))
-STAGES = (InitialStepsizeSearch(), TuningNUTS(N=30, metric_kind="diagonal"))
+STAGES = (InitialStepsizeSearch(), TuningNUTS(N=20, metric_kind="diagonal"))
 
 
 def test_no_progress_report_silent(caplog):
@@ -33,10 +33,10 @@ def test_no_progress_report_silent(caplog):
 
 
 def test_log_progress_report_emits(caplog):
-    reporter = LogProgressReport(chain_id=7, step_interval=10)
+    reporter = LogProgressReport(chain_id=7, step_interval=5)
     with caplog.at_level(logging.INFO, logger="dynamichmc_tpu"):
         mcmc_with_warmup(
-            jax.random.PRNGKey(1), LD, 30, dtype=jnp.float64,
+            jax.random.PRNGKey(1), LD, 16, dtype=jnp.float64,
             warmup_stages=STAGES, reporter=reporter,
         )
     text = "\n".join(r.getMessage() for r in caplog.records)

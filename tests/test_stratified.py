@@ -36,15 +36,15 @@ _HALF_STAGES = default_warmup_stages(
 def test_stratified_moments_and_lane_order():
     ld, cov = _target()
     res = run_chains(
-        jax.random.PRNGKey(1), ld, 24, 400, dtype=jnp.float64,
+        jax.random.PRNGKey(1), ld, 24, 250, dtype=jnp.float64,
         warmup_stages=_HALF_STAGES,
         stratify_sampling=4,
     )
     q = np.asarray(res.positions)
-    assert q.shape == (24, 400, 5)
+    assert q.shape == (24, 250, 5)
     qs = q.reshape(-1, 5)
-    assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.08
-    assert np.abs(qs.mean(0) / np.sqrt(np.diag(cov))).max() < 0.08
+    assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.10
+    assert np.abs(qs.mean(0) / np.sqrt(np.diag(cov))).max() < 0.10
     assert int(np.asarray(res.tree_statistics.is_divergent).sum()) == 0
 
     # warmup is untouched: eps/metric identical to the unstratified run,
@@ -73,7 +73,7 @@ def test_stratified_pooled_eps_falls_through():
     # results stay correct
     ld, cov = _target()
     res = run_chains(
-        jax.random.PRNGKey(2), ld, 16, 300, dtype=jnp.float64,
+        jax.random.PRNGKey(2), ld, 16, 200, dtype=jnp.float64,
         warmup_stages=default_warmup_stages(
             metric_kind="dense", pooled=True, pooled_stepsize=True,
             init_steps=40, middle_steps=20, doubling_stages=3,
@@ -82,7 +82,7 @@ def test_stratified_pooled_eps_falls_through():
         stratify_sampling=4,
     )
     qs = np.asarray(res.positions).reshape(-1, 5)
-    assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.09
+    assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.11
 
 
 def test_stratified_on_mesh_permutation():
@@ -109,13 +109,13 @@ def test_stratified_on_mesh_permutation():
         mesh=mesh,
     )
     res = run_chains(
-        jax.random.PRNGKey(3), ld, 32, 300, stratify_sampling=8, **kwargs
+        jax.random.PRNGKey(3), ld, 32, 200, stratify_sampling=8, **kwargs
     )
     q = np.asarray(res.positions)
-    assert q.shape == (32, 300, 5)
+    assert q.shape == (32, 200, 5)
     qs = q.reshape(-1, 5)
-    assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.08
-    assert np.abs(qs.mean(0) / np.sqrt(np.diag(cov))).max() < 0.08
+    assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.10
+    assert np.abs(qs.mean(0) / np.sqrt(np.diag(cov))).max() < 0.10
 
     # warmup untouched + per-lane outputs in the caller's lane order
     res0 = run_chains(jax.random.PRNGKey(3), ld, 32, 8, **kwargs)
