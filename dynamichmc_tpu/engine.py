@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time as _time
+import weakref
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -482,12 +483,14 @@ def _tree_sum(parts):
 
 _RETRY_SLEEP_SECONDS = 20.0  # backoff base; monkeypatched to 0 in tests
 
-# max per-step warmup cost seen per compiled monolithic program (keyed by the
-# program wrapper's id — kept alive by the program-bundle lru cache — plus the
-# schedule length). Lets a later execute() of the same program start with a
-# full-size first chunk instead of re-probing 4/16/64/... (each probe is a
-# tunnel RPC).
-_PER_STEP_SEEN: dict = {}
+# max per-step warmup cost seen per compiled monolithic program: a weak-key
+# map of jit wrapper -> {schedule length: cost}. Lets a later execute() of
+# the same program start with a full-size first chunk instead of re-probing
+# 4/16/64/... (each probe is a tunnel RPC). Weak keys make the identity
+# airtight: if the program-bundle lru cache (maxsize=32) ever evicts a
+# wrapper, its entry dies with it instead of a recycled id() serving a stale
+# estimate to an unrelated program.
+_PER_STEP_SEEN: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def _retry_dispatch(run, log=None, what="dispatch", on_retry=None):
@@ -608,7 +611,8 @@ def execute(
         # minutes-long) compile outside the adaptive chunk sizing; when a
         # prior execute() of this same program already recorded a per-step
         # cost, the program is compiled in-process — skip the extra RPC
-        if (id(programs.warmup_mono), sum(schedule.block_sizes)) not in _PER_STEP_SEEN:
+        seen = _PER_STEP_SEEN.get(programs.warmup_mono)
+        if seen is None or sum(schedule.block_sizes) not in seen:
             warm = programs.warmup_mono(
                 key_fold(0), Q, metric, da0, wf0, eps_run0, jnp.int32(0),
                 jnp.int32(0),
@@ -656,7 +660,9 @@ def execute(
         # (each probe dispatch is a tunnel RPC; the ramp measured ~0.4 s on
         # the headline config). Safety: half the watchdog target on the
         # cached estimate, and _retry_dispatch halves on any kill anyway.
-        per_step_max = _PER_STEP_SEEN.get((id(programs.warmup_mono), total), 0.0)
+        per_step_max = _PER_STEP_SEEN.get(programs.warmup_mono, {}).get(
+            total, 0.0
+        )
         if per_step_max > 0.0:
             chunk = int(max(4, min(total, 0.5 * target_seconds / per_step_max)))
         per_step_big = 0.0  # amortized estimate (>=64-step dispatches only)
@@ -711,7 +717,7 @@ def execute(
                     f"next chunk {chunk})"
                 )
         eps = eps_run
-        _PER_STEP_SEEN[(id(programs.warmup_mono), total)] = (
+        _PER_STEP_SEEN.setdefault(programs.warmup_mono, {})[total] = (
             per_step_big or per_step_max
         )
         if log is not None:
