@@ -103,20 +103,30 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     # degrades SAMPLING, 1.2 -> 2.0 s at 77% waste; see BENCH_NOTES.md).
     # Set BENCH_DEPTH_CLAMP=0 for unclamped reference-schedule semantics.
     clamp = int(os.environ.get("BENCH_DEPTH_CLAMP", "2")) or None
+    max_depth = int(os.environ.get("BENCH_MAX_DEPTH", "0"))
+    if clamp is not None and max_depth:
+        # a swept max_depth below the default clamp would otherwise fail
+        # run_chains' clamp <= max_depth validation
+        clamp = min(clamp, max_depth)
     # BENCH_CLAMP_TAIL (default 25 = half the 50-step final block): clamp
     # the first N steps of the final eps-only block too. The DA restart
     # against the just-updated metric builds the deepest trees of the whole
     # warmup (~270 slots/step measured); clamping the transient's head cut
     # the headline wall 3.49 -> 2.50 s at IDENTICAL total ESS and zero
     # divergences — the unclamped tail still re-adapts eps before sampling.
-    clamp_tail = int(os.environ.get("BENCH_CLAMP_TAIL", "25")) if clamp else 0
+    # tail clamp is a monolithic-(sync-)driver feature; the wavefront warmup
+    # applies the clamp per block only
+    clamp_tail = (
+        int(os.environ.get("BENCH_CLAMP_TAIL", "25"))
+        if clamp and driver == "sync"
+        else 0
+    )
     # BENCH_MAX_DEPTH (0 = reference default 10): cap the sampler's tree
     # depth outright — max_depth is an ordinary NUTS parameter (any cap is a
     # valid kernel), and the sampling phase pays the same lockstep straggler
     # tax the warmup clamp reclaimed. Sweep wall AND total ESS before
     # adopting a value: shorter trajectories correlate draws.
     algo_kw = {}
-    max_depth = int(os.environ.get("BENCH_MAX_DEPTH", "0"))
     if max_depth:
         from dynamichmc_tpu.nuts import NUTS
 

@@ -521,6 +521,18 @@ def _retry_dispatch(run, log=None, what="dispatch", on_retry=None):
             _time.sleep(_RETRY_SLEEP_SECONDS * retries)
 
 
+@functools.partial(jax.jit, static_argnames="metric_batched")
+def _eps_sort_state(Q, eps, metric, metric_batched: bool):
+    """Sort lanes by adapted eps: ONE jitted dispatch returning the permuted
+    (Q, eps, metric) plus the inverse permutation (two eager argsorts + a
+    per-call jit closure here measured as extra tunnel RPCs + a retrace on
+    every stratified run). A shared metric passes through unpermuted."""
+    perm = jnp.argsort(eps)
+    inv_perm = jnp.argsort(perm)
+    take = lambda t: jax.tree_util.tree_map(lambda x: x[perm], t)
+    return take(Q), eps[perm], (take(metric) if metric_batched else metric), inv_perm
+
+
 def metric_is_batched(metric: Metric) -> bool:
     """Per-chain (leading chain axis) vs shared metric, decided by array RANK
     — never by size, so a shared metric whose dimension K happens to equal
@@ -670,12 +682,17 @@ def execute(
         while start < total:
             # a retry halves the chunk and redispatches the SAME step range
             # (step keys fold the global index — bitwise identical results);
-            # recompute step_count inside `run` so the halved chunk applies
+            # recompute step_count inside `run` so the halved chunk applies.
+            # t0 resets per ATTEMPT: a killed dispatch's wall and the retry
+            # backoff sleep must not inflate the per-step cost estimate
+            # (which is max-seen, feeds the cross-run cache, and would
+            # otherwise permanently collapse the chunk size)
             t0 = _time.perf_counter()
             step_count = min(chunk, total - start)
 
             def run_mono():
-                nonlocal step_count
+                nonlocal step_count, t0
+                t0 = _time.perf_counter()
                 step_count = min(chunk, total - start)
                 out = programs.warmup_mono(
                     warm_key, Q, metric, da, wf, eps_run,
@@ -784,6 +801,10 @@ def execute(
                 g_min = 0 if g_prev_v is None else int(g_prev_v.min())
 
                 def run_wf(carry_in=carry, g_min=g_min):
+                    # reset t0 per attempt: killed-dispatch wall + retry
+                    # backoff must not inflate the per-iteration estimate
+                    nonlocal t0
+                    t0 = _time.perf_counter()
                     out = wf_fn(
                         stage_key, metric, carry_in, jnp.int32(n),
                         jnp.int32(g_min + wf_budget), dl_block,
@@ -839,7 +860,9 @@ def execute(
             step_count = min(chunk, n - start)
 
             def run_stage(Q_in=Q, da_in=da, wf_in=wf):
-                nonlocal step_count
+                # t0 resets per attempt (see the monolithic loop note)
+                nonlocal step_count, t0
+                t0 = _time.perf_counter()
                 step_count = min(chunk, n - start)
                 out = stage_fn(
                     stage_key, Q_in, metric, da_in, wf_in,
@@ -933,35 +956,37 @@ def execute(
         # unchanged (draw streams differ through the documented batch-shape
         # RNG dependence). One extra program compile (width C/G, chunk
         # scaled by G keeps the dispatch count unchanged).
-        perm = jnp.argsort(eps)
-        inv_perm = jnp.argsort(perm)
-        take = lambda t: jax.tree_util.tree_map(lambda x: x[perm], t)
-        Q_s = take(Q)
-        eps_s = eps[perm]
-        metric_s = take(metric) if metric_is_batched(metric) else metric
+        metric_b = metric_is_batched(metric)
+        Q_s, eps_s, metric_s, inv_perm = _eps_sort_state(Q, eps, metric, metric_b)
         Cg = C_total // G
         chunk = programs.stratified_chunk  # baked into sample_stratified
         n_chunks = -(-n_samples // chunk)
         pieces = []
         Q_parts = [None] * G
         group_keys = [jax.random.fold_in(sample_key, g + 1) for g in range(G)]
+        # hoist the per-group constants out of the chunk loop (each eager
+        # slice inside it is a tunnel RPC repeated n_chunks times)
+        group_slices = [slice(g * Cg, (g + 1) * Cg) for g in range(G)]
+        group_eps = [eps_s[sl] for sl in group_slices]
+        group_metric = [
+            jax.tree_util.tree_map(lambda x, sl=sl: x[sl], metric_s)
+            if metric_b
+            else metric
+            for sl in group_slices
+        ]
         t_sample = _time.perf_counter()
         for c in range(n_chunks):
             group_out = []
             for g in range(G):
-                sl = slice(g * Cg, (g + 1) * Cg)
+                sl = group_slices[g]
                 key_g = group_keys[g]
                 Qg = Q_parts[g] if Q_parts[g] is not None else jax.tree_util.tree_map(
                     lambda x: x[sl], Q_s
                 )
-                mg = (
-                    jax.tree_util.tree_map(lambda x: x[sl], metric_s)
-                    if metric_s is not metric
-                    else metric
-                )
-                def run_group(Qg_in=Qg, mg_in=mg, key_in=key_g, g_in=g):
+                def run_group(Qg_in=Qg, key_in=key_g, g_in=g):
                     out = programs.sample_stratified(
-                        key_in, Qg_in, mg_in, eps_s[sl], jnp.int32(c * chunk)
+                        key_in, Qg_in, group_metric[g_in], group_eps[g_in],
+                        jnp.int32(c * chunk),
                     )
                     jax.block_until_ready(out[2])
                     return out
@@ -1001,19 +1026,9 @@ def execute(
             # alone yields group-per-device stratification — the deepest
             # min-eps lanes stall only their own device. One jitted
             # permutation in, lane order restored by the assembly.
-            perm = jnp.argsort(eps)
-            perm_only_inv = jnp.argsort(perm)
-            metric_b = metric_is_batched(metric)
-
-            @jax.jit
-            def _permute_state(Q, eps, metric, perm):
-                take = lambda t: jax.tree_util.tree_map(lambda x: x[perm], t)
-                return (
-                    take(Q), eps[perm],
-                    take(metric) if metric_b else metric,
-                )
-
-            Q, eps, metric = _permute_state(Q, eps, metric, perm)
+            Q, eps, metric, perm_only_inv = _eps_sort_state(
+                Q, eps, metric, metric_is_batched(metric)
+            )
             if log is not None:
                 log("sampling: lanes eps-sorted (mesh stratification)")
         n_chunks = -(-n_samples // programs.sample_chunk)

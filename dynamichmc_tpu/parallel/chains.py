@@ -187,6 +187,18 @@ def run_chains(
                 "wavefront warmup under a mesh requires per-chain stepsize "
                 "adaptation (pooled_stepsize=False)"
             )
+    if warmup_depth_clamp_tail and warmup_depth_clamp is None:
+        raise ValueError(
+            "warmup_depth_clamp_tail requires warmup_depth_clamp"
+        )
+    if warmup_depth_clamp is not None and schedule is None:
+        # never drop a requested scheduling option on the floor: the scan-
+        # based fallback path (heterogeneous stages) runs unclamped
+        raise NotImplementedError(
+            "warmup_depth_clamp requires a fast-engine-expressible warmup "
+            "schedule (homogeneous TuningNUTS blocks; see "
+            "WarmupSchedule.from_stages)"
+        )
     if schedule is not None and warmup_depth_clamp is not None:
         # cap tree doublings during all warmup blocks but the last (see
         # WarmupSchedule.depth_clamp); sampling is never clamped

@@ -1,11 +1,15 @@
-"""A/B timing: nested (sample_tree_batched) vs flat (sample_tree_batched_flat).
+"""Tree-driver cost sweep: eps (-> tree depth) vs ms/transition, us/leaf-slot.
 
-Sweeps eps to vary tree depth and reports ms/transition + us/leaf-slot for
-both drivers on the headline-like config. The two are RNG-stream identical,
-so they execute the same trees — any timing delta is pure loop structure.
+Profiles the production batch-native driver (sample_tree_batched) on the
+headline-like config; this sweep is the source of the fixed/per-doubling/
+per-leaf cost model in BENCH_NOTES.md. If a build also exposes an
+alternative driver named in PROF_ALT (e.g. the flat single-while-loop
+variant, removed at 5945f5c after measuring 0.65-0.77x — RNG-stream
+identical, so any delta is pure loop structure), it is A/B'd side by side.
 
 Run on the TPU (one process at a time): python scripts/profile_flat.py
-Knobs: PROF_CHAINS, PROF_DIM, PROF_STEPS, PROF_METRIC (dense|diagonal).
+Knobs: PROF_CHAINS, PROF_DIM, PROF_STEPS, PROF_METRIC (dense|diagonal),
+PROF_ALT (attribute name of an alternative driver in tree_batched).
 """
 
 import os
@@ -71,12 +75,14 @@ def main():
 
         return jax.jit(lambda Q: jax.lax.scan(step, Q, jnp.arange(n_steps)))
 
+    drivers = [("nested", tb.sample_tree_batched)]
+    alt_name = os.environ.get("PROF_ALT", "")
+    if alt_name:
+        drivers.append((alt_name, getattr(tb, alt_name)))
+
     rows = {}
     for eps in (1.4, 0.7, 0.35, 0.18):
-        for label, driver in (
-            ("nested", tb.sample_tree_batched),
-            ("flat", tb.sample_tree_batched_flat),
-        ):
+        for label, driver in drivers:
             secs, (_, (work, steps, depth)) = timed(
                 transition_loop(driver, eps), Q0
             )
@@ -90,9 +96,10 @@ def main():
                 f"{us_slot:6.1f} us/slot  (slots/tr {slots / n_steps:6.1f}, "
                 f"mean depth {d_mean:.2f})"
             )
-        a = rows[(eps, "nested")][0]
-        b = rows[(eps, "flat")][0]
-        print(f"          flat speedup: {a / b:5.2f}x")
+        if len(drivers) > 1:
+            a = rows[(eps, drivers[0][0])][0]
+            b = rows[(eps, drivers[1][0])][0]
+            print(f"          {drivers[1][0]} speedup: {a / b:5.2f}x")
 
 
 if __name__ == "__main__":

@@ -114,3 +114,33 @@ def test_clamp_tail_rejects_wavefront():
             warmup_depth_clamp=3, warmup_depth_clamp_tail=10,
             warmup_driver="wavefront",
         )
+
+
+def test_clamp_tail_requires_clamp():
+    ld, _ = _target()
+    with pytest.raises(ValueError, match="warmup_depth_clamp"):
+        run_chains(
+            jax.random.PRNGKey(0), ld, 8, 16, dtype=jnp.float64,
+            warmup_depth_clamp_tail=10,
+        )
+
+
+def test_clamp_rejects_unexpressible_schedule():
+    """A clamp request must never be silently dropped: the scan-based
+    fallback path (heterogeneous stage tuples WarmupSchedule.from_stages
+    cannot normalize) runs unclamped, so run_chains refuses."""
+    from dynamichmc_tpu.stepsize import DualAveraging
+    from dynamichmc_tpu.warmup import TuningNUTS
+
+    ld, _ = _target()
+    # two blocks with different stepsize adaptations -> from_stages is None
+    stages = (
+        TuningNUTS(N=20, metric_kind="diagonal"),
+        TuningNUTS(N=20, metric_kind="diagonal",
+                   stepsize_adaptation=DualAveraging(delta=0.9)),
+    )
+    with pytest.raises(NotImplementedError, match="expressible"):
+        run_chains(
+            jax.random.PRNGKey(0), ld, 8, 16, dtype=jnp.float64,
+            warmup_stages=stages, warmup_depth_clamp=3,
+        )
