@@ -200,7 +200,34 @@ def run_cpu_baseline(dim: int, n_samples: int, metric_kind: str):
     return np.asarray(res.positions, np.float64), seconds
 
 
+def _arm_watchdog():
+    """A wedged axon tunnel makes the first device op hang indefinitely
+    (observed: multi-hour outages where even a 128x128 matmul never
+    returns). Convert that into a bounded, diagnosable failure: a daemon
+    thread hard-exits after BENCH_WATCHDOG_MINS (default 40 — a fully cold
+    compile of the headline programs through the tunnel takes ~15-25 min;
+    0 disables)."""
+    minutes = float(os.environ.get("BENCH_WATCHDOG_MINS", "40"))
+    if minutes <= 0:
+        return
+    import threading
+
+    def kill():
+        print(
+            f"[bench] WATCHDOG: no result after {minutes:.0f} min — the "
+            "TPU tunnel is likely wedged (device ops hang). Exiting.",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(minutes * 60.0, kill)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    _arm_watchdog()
     n_chains = int(os.environ.get("BENCH_CHAINS", 4096))
     dim = int(os.environ.get("BENCH_DIM", 100))
     n_samples = int(os.environ.get("BENCH_SAMPLES", 512))
