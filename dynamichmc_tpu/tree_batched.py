@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from .hamiltonian import EvaluatedPoint
 from .logdensity import LogDensity
 from .metric import DiagonalMetric, Metric
-from .nuts import NUTS, TreeStatistics
+from .nuts import NUTS, AcceptanceStatistic, TreeStatistics, acceptance_rate
 
 # Profiling-only ablation switches (scripts/profile_leaf.py): members of
 # {"merge", "best", "stats"} disable pieces of the leaf body AT TRACE TIME to
@@ -316,13 +316,11 @@ def _doubling_bookkeeping(c, adj, engaged, is_fwd, combine_dir):
         adj["inv_left"],
         jnp.where(turning, i_minus, c["term_left"]),
     )
-    term_left = jnp.where(newly_term, term_left, c["term_left"])
     term_right = jnp.where(
         invalid,
         adj["inv_right"],
         jnp.where(turning, i_plus, c["term_right"]),
     )
-    term_right = jnp.where(newly_term, term_right, c["term_right"])
 
     return {
         "valid": valid,
@@ -396,7 +394,13 @@ def sample_tree_batched(
     if depth_limit is None:
         d_cap = jnp.int32(max_depth)
     else:
-        d_cap = jnp.minimum(jnp.asarray(depth_limit, jnp.int32), max_depth)
+        # <= 0 means UNCLAMPED — the same runtime-operand convention the
+        # wavefront driver documents (tree_wavefront.py, engine.py's
+        # dl_block=0); without this, a 0 would silently disable every
+        # doubling and freeze the whole fleet at the initial point
+        dl = jnp.asarray(depth_limit, jnp.int32)
+        d_cap = jnp.where(dl <= 0, jnp.int32(max_depth),
+                          jnp.minimum(dl, max_depth))
 
     k_p, k_dir, k_tree = jax.random.split(key, 3)
     p0 = rand_p_b(k_p, metric, (C, K), dtype) if p is None else jnp.asarray(p, dtype)
@@ -433,12 +437,12 @@ def sample_tree_batched(
         def cond(c):
             return (c["n"] < n_leaves) & jnp.any(c["building"] & engaged)
 
-        def process_leaf(c, merge_mode):
-            """One leaf at counter c["n"]. merge_mode can exploit counter
-            parity ("none": even leaves never merge, static level-0 store;
-            "odd": guaranteed first merge inlined from static slot 0;
-            "generic": dynamic trailing-ones while_loop). Only "generic" is
-            used — see the loop-structure note below."""
+        def process_leaf(c):
+            """One leaf at counter c["n"]: leapfrog + leaf statistics +
+            Gumbel proposal update + the dynamic trailing-ones merge run.
+            (Counter-parity merge variants — static even/odd specializations
+            — were built for the pair-unrolling experiment and removed with
+            it; see the loop-structure note below.)"""
             kleaf = jax.random.fold_in(carry_key, c["n"])
             if ld.fused_leaf_batched_fn is not None:
                 qn, pn, gn, ldn, pi = ld.fused_leaf_batched_fn(
@@ -489,27 +493,15 @@ def sample_tree_batched(
             turned = jnp.zeros((C,), bool)
             turn_left = jnp.zeros((C,), jnp.int32)
 
-            if "merge" in _ablate or merge_mode == "none":
-                level = jnp.int32(0)
+            if "merge" in _ablate:
                 stack = tuple(
                     jax.lax.dynamic_update_index_in_dim(s, v, 0, 0)
                     for s, v in zip(c["stack"], node)
                 )
             else:
-                if merge_mode == "odd":
-                    # guaranteed first merge: pop slot 0 with a STATIC index
-                    popped = tuple(s[0] for s in c["stack"])
-                    node, turning = combine_dir(popped, node, is_fwd)
-                    turn_left = jnp.where(
-                        turning, i_edge + step * c["n"], turn_left
-                    )
-                    turned = turning
-                    start_level = jnp.int32(1)
-                else:
-                    start_level = jnp.int32(0)
                 node, level, turned, turn_left, stack = _merge_pending(
                     c["n"], c["stack"], node, combine_dir, is_fwd, i_edge,
-                    step, start_level, turned, turn_left,
+                    step, jnp.int32(0), turned, turn_left,
                 )
 
             invalid = live & (divergent | turned)
@@ -552,9 +544,7 @@ def sample_tree_batched(
         # because each extra while_loop instance pays a large entry cost for
         # the big carry on this runtime — fewer loop INSTANCES beat fewer
         # iterations.
-        out = jax.lax.while_loop(
-            cond, lambda c: process_leaf(c, "generic"), init
-        )
+        out = jax.lax.while_loop(cond, process_leaf, init)
         # the completed tree's turn statistic sits at slot == d
         tau_tree = tuple(
             jax.lax.dynamic_index_in_dim(s, jnp.minimum(d, S - 1), 0, keepdims=False)
@@ -644,13 +634,14 @@ def _finish_transition(out, directions, C, scratch):
     sentinel = (tl == 1) & (tr == 0)
     lo = jnp.where(sentinel, tl, jnp.minimum(tl, tr))
     hi = jnp.where(sentinel, tr, jnp.maximum(tl, tr))
-    steps = jnp.maximum(out["steps"], 1)
     stats = TreeStatistics(
         logdensity=out["prop_pi"],
         depth=out["depth"],
         term_left=lo,
         term_right=hi,
-        acceptance_rate=jnp.minimum(jnp.exp(out["log_sum"]) / steps, 1.0),
+        acceptance_rate=acceptance_rate(
+            AcceptanceStatistic(out["log_sum"], out["steps"])
+        ),
         steps=out["steps"],
         directions=directions,
         work=jnp.broadcast_to(out["work"], (C,)),

@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from .hamiltonian import EvaluatedPoint
 from .logdensity import LogDensity
 from .metric import Metric
-from .nuts import NUTS
+from .nuts import NUTS, AcceptanceStatistic, acceptance_rate
 from .tree_batched import (
     _Edge,
     _leapfrog_b,
@@ -147,7 +147,7 @@ _CARRY_KEYS = (
     "Q", "eps_l", "dirs", "pi0", "d", "is_fwd", "z_minus", "z_plus",
     "prop_q", "prop_ld", "prop_grad", "omega", "tau", "log_sum", "steps_tr",
     "tree_g0", "z", "stack", "omega_adj", "best_score", "best_q", "best_ld",
-    "best_grad", "best_pi", "lsum_adj", "steps_adj",
+    "best_grad", "lsum_adj", "steps_adj",
 )
 
 
@@ -220,7 +220,6 @@ def wavefront_init(
         "best_q": zK,
         "best_ld": zeros,
         "best_grad": zK,
-        "best_pi": zeros,
         "lsum_adj": zeros,
         "steps_adj": zeros_i,
     }
@@ -394,7 +393,6 @@ def make_wavefront_stage_driver(
             best_q = jnp.where(tk, z_new.q, c["best_q"])
             best_ld = jnp.where(take, z_new.ld, c["best_ld"])
             best_grad = jnp.where(tk, z_new.grad, c["best_grad"])
-            best_pi = jnp.where(take, pi, c["best_pi"])
             omega_adj = jnp.logaddexp(
                 omega_adj, jnp.where(divergent | ~building, neg_inf, delta)
             )
@@ -487,9 +485,7 @@ def make_wavefront_stage_driver(
             waiting = waiting | (tree_done & ~turning_tr & ~hit_max)
 
             # --- F: transition bookkeeping at completion ---------------------
-            acc_rate = jnp.minimum(
-                jnp.exp(log_sum) / jnp.maximum(steps_tr, 1), 1.0
-            )
+            acc_rate = acceptance_rate(AcceptanceStatistic(log_sum, steps_tr))
             if pooled_eps:
                 # SHARED eps: accumulate completed transitions' acceptance;
                 # one pooled DA update per epoch of global slots
@@ -577,7 +573,6 @@ def make_wavefront_stage_driver(
                 "best_q": best_q,
                 "best_ld": best_ld,
                 "best_grad": best_grad,
-                "best_pi": best_pi,
                 "lsum_adj": lsum_adj,
                 "steps_adj": steps_adj,
             }

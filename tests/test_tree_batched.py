@@ -54,6 +54,35 @@ def test_fixed_directions_deterministic():
     np.testing.assert_array_equal(np.asarray(s1.directions), np.asarray(dirs))
 
 
+def test_depth_limit_nonpositive_means_unclamped():
+    """depth_limit <= 0 is the runtime 'unclamped' operand convention
+    shared with the wavefront driver (engine passes dl=0 for released
+    blocks there); it must match depth_limit=None exactly — NOT silently
+    disable every doubling and freeze the fleet at the initial point."""
+    k, c = 3, 8
+    ld = std_normal(k)
+    metric = identity_metric(k, dtype=jnp.float64)
+    Q = batched_Q(ld, jnp.linspace(-1, 1, c * k).reshape(c, k))
+    dirs = jnp.full((c,), 0b10110, jnp.uint32)
+    run = jax.jit(
+        lambda dl: sample_tree_batched(
+            KEY, NUTS(), ld, metric, Q, 0.4, directions=dirs, depth_limit=dl
+        )
+    )
+    Q_none, s_none = jax.jit(
+        lambda: sample_tree_batched(
+            KEY, NUTS(), ld, metric, Q, 0.4, directions=dirs
+        )
+    )()
+    for dl in (0, -1):
+        Q_dl, s_dl = run(jnp.int32(dl))
+        np.testing.assert_array_equal(np.asarray(Q_dl.q), np.asarray(Q_none.q))
+        np.testing.assert_array_equal(
+            np.asarray(s_dl.depth), np.asarray(s_none.depth)
+        )
+    assert (np.asarray(s_none.depth) > 0).any()  # trees actually built
+
+
 def test_per_lane_isolation():
     # half the lanes sit on a cliff (instant divergence), half on a clean
     # Gaussian: clean lanes must sample normally.
