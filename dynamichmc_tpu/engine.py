@@ -570,8 +570,6 @@ def execute(
     ``key_fold(i)`` returns the (possibly batched) key for step-group ``i``.
     Returns (metric, eps, search_results, summaries, inference_tuple).
     """
-    import time as _time
-
     adaptation = programs.adaptation
     from .errors import DynamicHMCError
 
@@ -616,15 +614,29 @@ def execute(
     if log is not None:
         jax.block_until_ready(eps)
         log(f"prologue: {_time.perf_counter() - t_start:.2f}s since start")
+    # the per-step cost estimate (and the compiled executable behind the jit
+    # wrapper) is shape-specific: the same program bundle serves every chain
+    # count whose sampling chunk coincides, so the cache must key on the
+    # schedule length AND the input shape/dtype — a C=16 estimate reused at
+    # C=4096 would size a watchdog-killing first chunk and skip the
+    # compile-absorbing warm dispatch
+    cost_key = (
+        sum(schedule.block_sizes), Q.q.shape, jnp.dtype(Q.q.dtype).name
+    )
+    # promote a diagonal initial metric to dense up front on EVERY warmup
+    # path (numerically a no-op): the first dense re-estimate otherwise
+    # changes the metric operand's pytree type mid-run, retracing the stage/
+    # wavefront program inside the budgeted dispatch loop (a multi-minute
+    # tunnel compile whose wall also poisons the per-iteration estimate)
+    metric = promote_metric(metric, schedule.metric_kind)
     if programs.warmup_mono is not None:
-        metric = promote_metric(metric, schedule.metric_kind)
         eps_run0 = strong(adaptation.current(da0))
         # the zero-step warm dispatch exists to trigger the (possibly
         # minutes-long) compile outside the adaptive chunk sizing; when a
         # prior execute() of this same program already recorded a per-step
         # cost, the program is compiled in-process — skip the extra RPC
         seen = _PER_STEP_SEEN.get(programs.warmup_mono)
-        if seen is None or sum(schedule.block_sizes) not in seen:
+        if seen is None or cost_key not in seen:
             warm = programs.warmup_mono(
                 key_fold(0), Q, metric, da0, wf0, eps_run0, jnp.int32(0),
                 jnp.int32(0),
@@ -673,7 +685,7 @@ def execute(
         # the headline config). Safety: half the watchdog target on the
         # cached estimate, and _retry_dispatch halves on any kill anyway.
         per_step_max = _PER_STEP_SEEN.get(programs.warmup_mono, {}).get(
-            total, 0.0
+            cost_key, 0.0
         )
         if per_step_max > 0.0:
             chunk = int(max(4, min(total, 0.5 * target_seconds / per_step_max)))
@@ -734,7 +746,7 @@ def execute(
                     f"next chunk {chunk})"
                 )
         eps = eps_run
-        _PER_STEP_SEEN.setdefault(programs.warmup_mono, {})[total] = (
+        _PER_STEP_SEEN.setdefault(programs.warmup_mono, {})[cost_key] = (
             per_step_big or per_step_max
         )
         if log is not None:

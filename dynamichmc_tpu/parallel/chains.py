@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 import functools
 
-from ..engine import WarmupSchedule, build_programs, execute
+from ..engine import WarmupSchedule, build_programs, execute, metric_is_batched
 from ..errors import DynamicHMCError
 from ..hamiltonian import evaluate
 from ..logdensity import LogDensity
@@ -68,12 +68,20 @@ def init_chain_states(
     metric: Optional[Metric] = None,
     eps=None,
     dtype=jnp.float32,
+    broadcast_metric: bool = True,
 ) -> WarmupState:
     """Batched initial warmup states: per-chain random positions in [-2, 2]^K
     (mcmc.jl:108), identity metric, optional shared eps.
 
     Performs the strict initial-point validation (mcmc.jl:131) host-side over
     the whole batch and raises ``DynamicHMCError`` naming the bad chains.
+
+    ``broadcast_metric=False`` keeps a shared (unbatched) metric as-is —
+    pooled-adaptation runs slice the per-chain broadcast straight back to
+    one copy, and eagerly materializing a (C, K, K) dense metric at fleet
+    scale (~320 MB at 8192x100 f32) wastes exactly the HBM headroom that
+    bounds the maximum chain count. A user-supplied per-chain metric passes
+    through unchanged either way.
     """
     if q is None:
         # ONE fused dispatch (key split + positions + evaluate): the eager
@@ -99,9 +107,10 @@ def init_chain_states(
     if metric is None:
         metric = identity_metric(ld.dim, dtype=dtype)
     # broadcast the metric (and eps) per chain so every chain adapts its own
-    metric = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), metric
-    )
+    if broadcast_metric and not metric_is_batched(metric):
+        metric = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), metric
+        )
     if eps is not None:
         eps = jnp.broadcast_to(jnp.asarray(eps, dtype), (n_chains,))
     return WarmupState(Q=Q, metric=metric, eps=eps)
@@ -124,8 +133,16 @@ def run_chains(
     stratify_sampling: int = 0,
     warmup_depth_clamp: Optional[int] = None,
     warmup_depth_clamp_tail: int = 0,
+    sample_chunk: Optional[int] = None,
 ) -> MCMCResult:
     """Run ``n_chains`` independently-warmed NUTS chains, batched on device.
+
+    ``sample_chunk``: draws per sampling dispatch (default: memory-bound,
+    <= 512). The chunk length is BAKED into the compiled sampling program,
+    so — unlike every warmup loop, whose trip counts are runtime operands —
+    a sampling dispatch that exceeds the ~60 s TPU watchdog cannot be
+    shrunk by the retry path; pass a smaller chunk for targets whose
+    near-max-depth trees make 512 draws exceed the watchdog.
 
     Without ``mesh``: one chip, chains vmapped. With ``mesh``: the chain axis
     is sharded over the mesh's '{CHAIN_AXIS}' axis via shard_map; n_chains
@@ -170,13 +187,18 @@ def run_chains(
             raise ValueError(
                 f"n_chains={n_chains} not divisible by mesh size {n_dev}"
             )
-    init_key, run_key = jax.random.split(jnp.asarray(key))
-    states = init_chain_states(init_key, ld, n_chains, dtype=dtype, **initialization)
-    chain_keys = jax.random.split(run_key, n_chains)
-
     if warmup_driver not in ("sync", "wavefront"):
         raise ValueError("warmup_driver must be 'sync' or 'wavefront'")
     schedule = WarmupSchedule.from_stages(tuple(warmup_stages))
+    init_key, run_key = jax.random.split(jnp.asarray(key))
+    states = init_chain_states(
+        init_key, ld, n_chains, dtype=dtype,
+        # pooled adaptation keeps ONE shared metric: don't materialize the
+        # (C, K, K) per-chain broadcast it would immediately slice back
+        broadcast_metric=not (schedule is not None and schedule.pooled),
+        **initialization,
+    )
+    chain_keys = jax.random.split(run_key, n_chains)
     if warmup_driver == "wavefront" and mesh is not None and schedule is not None:
         from ..stepsize import PooledStepsize
 
@@ -198,6 +220,27 @@ def run_chains(
             "warmup_depth_clamp requires a fast-engine-expressible warmup "
             "schedule (homogeneous TuningNUTS blocks; see "
             "WarmupSchedule.from_stages)"
+        )
+    if schedule is None and (draw_sink is not None or stratify_sampling):
+        # same never-silently-drop rule: the scan fallback keeps all draws
+        # on device and never calls the sink (the user's store would stay
+        # empty while the run "succeeds")
+        raise NotImplementedError(
+            "draw_sink / stratify_sampling require a fast-engine-"
+            "expressible warmup schedule (homogeneous TuningNUTS blocks)"
+        )
+    if warmup_driver == "wavefront" and schedule is None:
+        raise NotImplementedError(
+            "wavefront warmup requires a fast-engine-expressible warmup "
+            "schedule (homogeneous TuningNUTS blocks)"
+        )
+    if (
+        warmup_driver == "wavefront"
+        and algorithm.turn_statistic_configuration != "generalized"
+    ):
+        raise NotImplementedError(
+            "wavefront warmup requires the batch-native drivers "
+            "(generalized turn statistic)"
         )
     if schedule is not None and warmup_depth_clamp is not None:
         # cap tree doublings during all warmup blocks but the last (see
@@ -238,6 +281,7 @@ def run_chains(
             batched=algorithm.turn_statistic_configuration == "generalized",
             wavefront=warmup_driver == "wavefront",
             stratify_sampling=stratify_sampling,
+            sample_chunk=sample_chunk,
         )
 
     lean = dict(
@@ -258,11 +302,7 @@ def run_chains(
         fn = jax.jit(jax.vmap(single, axis_name=CHAIN_AXIS))
         history, final_states, inference = fn(chain_keys, states)
     else:
-        n_dev = mesh.devices.size
-        if n_chains % n_dev:
-            raise ValueError(
-                f"n_chains={n_chains} not divisible by mesh size {n_dev}"
-            )
+        n_dev = mesh.devices.size  # divisibility validated at entry
         single = make_runner(
             ld,
             algorithm,
@@ -383,10 +423,29 @@ def _run_chains_fast(
     batched: bool = True,
     wavefront: bool = False,
     stratify_sampling: int = 0,
+    sample_chunk: Optional[int] = None,
 ) -> MCMCResult:
+    from ..stepsize import PooledStepsize
+
     if stratify_sampling and not batched:
         raise NotImplementedError(
             "stratify_sampling requires the batch-native path"
+        )
+    if stratify_sampling and isinstance(schedule.adaptation, PooledStepsize):
+        # stratification sorts lanes by ADAPTED PER-CHAIN eps; with a
+        # shared eps there is nothing to sort and execute would silently
+        # run unstratified
+        raise ValueError(
+            "stratify_sampling requires per-chain stepsize adaptation "
+            "(pooled_stepsize=False)"
+        )
+    if not batched and isinstance(schedule.adaptation, PooledStepsize):
+        # the generic per-chain driver vmaps the DA state with in_axes=0;
+        # PooledStepsize collapses it to one scalar state — unguarded, this
+        # surfaces as an opaque vmap rank error at the warm dispatch
+        raise NotImplementedError(
+            "pooled stepsize adaptation requires the batch-native drivers "
+            "(generalized turn statistic)"
         )
     # Under a mesh, stratification is a lane PERMUTATION (sort by adapted
     # eps): shard_map already bounds each device's lockstep loop by its own
@@ -404,7 +463,12 @@ def _run_chains_fast(
         # headline run fits one dispatch; transient doubling at the
         # draw-major -> chain-major transpose stays well under HBM).
         c, k = states.Q.q.shape
-        sample_chunk = int(max(8, min(512, (1 << 28) // max(c * k, 1))))
+        if sample_chunk is None:
+            sample_chunk = int(max(8, min(512, (1 << 28) // max(c * k, 1))))
+        else:
+            sample_chunk = int(min(sample_chunk, n_samples))
+            if sample_chunk < 1:
+                raise ValueError("sample_chunk must be >= 1")
         if stratify_sampling and c % int(stratify_sampling):
             raise ValueError(
                 f"n_chains={c} not divisible by stratify_sampling="
@@ -426,8 +490,10 @@ def _run_chains_fast(
     else:
         programs = _fast_programs(ld, algorithm, schedule, mesh)
     metric0 = states.metric
-    if schedule.pooled:
-        # shared-metric mode: one unbatched metric for all chains
+    if schedule.pooled and metric_is_batched(metric0):
+        # shared-metric mode: one unbatched metric for all chains (states
+        # built by run_chains arrive unbatched already; a caller-supplied
+        # per-chain initial metric is reduced to its first copy)
         metric0 = jax.tree_util.tree_map(lambda x: x[0], metric0)
     Q0, eps0 = states.Q, states.eps
     if mesh is not None:
@@ -466,6 +532,12 @@ def _run_chains_fast(
         stratify_permute_only=stratify_mesh,
     )
     if search_results is not None:
+        # Deliberately checked AFTER the run, not right after the search
+        # dispatch: the success flag lives on device, and pulling it early
+        # would insert the only host sync between the search and the final
+        # result — one full tunnel RPC round-trip (~0.1-0.3 s) added to
+        # EVERY successful run to fail a rare pathological one faster. The
+        # run still fails loudly with the same DynamicHMCError either way.
         _check_stepsize_search([(None, search_results, None)])
     _q_final, positions, logdensities, stats = inference
     # vmapped sampling stacks the scan axis second: (chains, n_samples, ...)

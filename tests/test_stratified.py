@@ -68,21 +68,21 @@ def test_stratified_requires_divisible_groups():
         )
 
 
-def test_stratified_pooled_eps_falls_through():
-    # shared eps has no straggler spread to sort; the flag is a no-op and
-    # results stay correct
-    ld, cov = _target()
-    res = run_chains(
-        jax.random.PRNGKey(2), ld, 16, 200, dtype=jnp.float64,
-        warmup_stages=default_warmup_stages(
-            metric_kind="dense", pooled=True, pooled_stepsize=True,
-            init_steps=40, middle_steps=20, doubling_stages=3,
-            terminating_steps=25,
-        ),
-        stratify_sampling=4,
-    )
-    qs = np.asarray(res.positions).reshape(-1, 5)
-    assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.11
+def test_stratified_pooled_eps_rejected():
+    # shared eps has no per-chain straggler spread to sort: the request
+    # cannot be honored, and silently running unstratified would misreport
+    # the measured scheduling — run_chains refuses up front
+    ld, _ = _target()
+    with pytest.raises(ValueError, match="per-chain stepsize"):
+        run_chains(
+            jax.random.PRNGKey(2), ld, 16, 200, dtype=jnp.float64,
+            warmup_stages=default_warmup_stages(
+                metric_kind="dense", pooled=True, pooled_stepsize=True,
+                init_steps=40, middle_steps=20, doubling_stages=3,
+                terminating_steps=25,
+            ),
+            stratify_sampling=4,
+        )
 
 
 def test_stratified_on_mesh_permutation():
