@@ -943,6 +943,28 @@ def execute(
     n_batch_dims = Q.q.ndim - 1
     axis = n_batch_dims
 
+    if n_samples == 0:
+        # warmup-only run (adaptation inspection): nothing to sample or
+        # assemble — return structurally-correct empty inference arrays
+        # (the keep-warmup fast path supports exactly this use)
+        qs_s, lds_s, stats_s = jax.eval_shape(
+            lambda Q_in: programs.sample(
+                sample_key, Q_in, metric, eps, jnp.int32(0)
+            )[1:],
+            Q,
+        )
+
+        def _empty(s):
+            shape = list(s.shape)
+            shape[axis] = 0
+            return jnp.zeros(tuple(shape), s.dtype)
+
+        inference = (
+            Q, _empty(qs_s), _empty(lds_s),
+            jax.tree_util.tree_map(_empty, stats_s),
+        )
+        return metric, eps, search_results, summaries, inference
+
     G = int(stratify_sampling) if stratify_sampling else 0
     C_total = Q.q.shape[0] if n_batch_dims == 1 else 0
     stratify = (

@@ -198,6 +198,17 @@ def _fast_keep_programs(ld: LogDensity, algorithm: NUTS, schedule,
     return programs, collect, chunk
 
 
+@functools.partial(jax.jit, static_argnames="n")
+def _concat_trim(pieces, n: int):
+    """Assemble dispatch chunks in ONE jitted program. Host-side eager
+    per-leaf concatenates are ~0.1-0.3 s tunnel RPCs apiece (the round-2
+    seam lesson: ~25 eager concats cost 4.7 s vs 0.04 s jitted)."""
+    return jax.tree_util.tree_map(
+        lambda *xs: (jnp.concatenate(xs) if len(xs) > 1 else xs[0])[:n],
+        *pieces,
+    )
+
+
 def _mcmc_keep_warmup_fast(
     run_key, ld, n_samples, initial_state, warmup_stages, schedule, algorithm,
     collect_warmup_positions: bool,
@@ -208,9 +219,9 @@ def _mcmc_keep_warmup_fast(
     chunks — compiles in seconds where the scan-based path inlines one tree
     program per stage, and never exceeds the TPU single-dispatch budget.
     ``log`` (``stage_log(reporter)``) emits stage-boundary progress."""
-    from .engine import _retry_dispatch, welford_zero
+    from .engine import _retry_dispatch, promote_metric, welford_zero
     from .stepsize import InitialStepsizeSearch
-    from .warmup import WarmupState, estimate_metric
+    from .warmup import WarmupState
 
     programs, collect, chunk = _fast_keep_programs(ld, algorithm, schedule)
     adaptation = schedule.adaptation
@@ -222,7 +233,11 @@ def _mcmc_keep_warmup_fast(
         return jax.tree_util.tree_map(lambda x: x.astype(x.dtype), tree)
 
     Q = initial_state.Q
-    metric = initial_state.metric
+    # canonicalize a diagonal initial metric to the dense representation up
+    # front (numerically a no-op): the first dense re-estimate otherwise
+    # flips the metric operand's pytree type and retraces the collecting
+    # program mid-run — a multi-minute compile on the tunneled chip
+    metric = promote_metric(initial_state.metric, schedule.metric_kind)
     eps = initial_state.eps
 
     search_results = None
@@ -233,6 +248,9 @@ def _mcmc_keep_warmup_fast(
             )
         eps, success = programs.search(key_fold(0), Q, metric)
         search_results = {"eps": eps, "success": success}
+        # fail fast: this is the interactive inspection path, so the host
+        # sync is cheap relative to running a whole warmup at a garbage eps
+        _check_stepsize_search([(None, search_results, None)])
     elif eps is None:
         raise DynamicHMCError("no stepsize: provide eps or a search stage")
     eps = strong(eps)
@@ -259,11 +277,11 @@ def _mcmc_keep_warmup_fast(
             Q, da, wf, ys = _retry_dispatch(
                 run_collect, log=log, what="keep-warmup dispatch"
             )
+            if not collect_warmup_positions:
+                # don't ship positions through the assembly just to drop them
+                ys = {k: v for k, v in ys.items() if k != "positions"}
             pieces.append(ys)
-        ys = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs)[:n] if len(xs) > 1 else xs[0][:n],
-            *pieces,
-        )
+        ys = _concat_trim(tuple(pieces), n)
         eps = adaptation.final(da)
         if schedule.update_metric[i]:
             metric = programs.metric_updates[schedule.shrinkages[i]](wf)
@@ -332,16 +350,9 @@ def _mcmc_keep_warmup_fast(
             tree_statistics=jax.tree_util.tree_map(empty, stats_s),
         )
 
-    def concat(xs):
-        out = jnp.concatenate(xs) if len(xs) > 1 else xs[0]
-        return out[:n_samples]
-
+    qs, lds, stats = _concat_trim(tuple(pieces), n_samples)
     inference = InferenceResult(
-        positions=concat([p[0] for p in pieces]),
-        logdensities=concat([p[1] for p in pieces]),
-        tree_statistics=jax.tree_util.tree_map(
-            lambda *xs: concat(list(xs)), *[p[2] for p in pieces]
-        ),
+        positions=qs, logdensities=lds, tree_statistics=stats
     )
     return history, final_state, inference
 
@@ -605,6 +616,8 @@ def stack_posterior_matrices(results) -> jnp.ndarray:
         positions = jnp.stack([r.positions for r in results])  # (C, N, K)
     else:
         positions = results.positions
+        if positions.ndim == 2:  # one unbatched result: a single chain
+            positions = positions[None]  # (1, N, K), not a silent transpose
     return jnp.swapaxes(positions, 0, 1)  # (N, C, K)
 
 
@@ -614,5 +627,7 @@ def pool_posterior_matrices(results) -> jnp.ndarray:
         positions = jnp.stack([r.positions for r in results])
     else:
         positions = results.positions
+        if positions.ndim == 2:  # one unbatched result: a single chain
+            positions = positions[None]
     c, n, k = positions.shape
     return positions.reshape(c * n, k).T

@@ -186,7 +186,13 @@ class PooledStepsize:
     def _pool_eps(self, eps):
         eps = jnp.asarray(eps)
         if eps.ndim == 0:
-            return eps
+            if self.axis_name is None:
+                return eps
+            # scalar PER-LANE view (inside a vmapped/shard_mapped body):
+            # the pool IS the mean over the bound axis — without it each
+            # lane's DA would start from its own search eps and the
+            # "shared" stepsize would silently adapt per-chain
+            return jnp.exp(jax.lax.pmean(jnp.log(eps), self.axis_name))
         pooled = jnp.mean(jnp.log(eps))
         pooled = self._pmean(pooled)
         return jnp.exp(pooled)  # geometric mean

@@ -37,6 +37,7 @@ from .stepsize import (
     DualAveraging,
     FixedStepsize,
     InitialStepsizeSearch,
+    PooledStepsize,
     find_initial_stepsize,
     local_log_acceptance_ratio,
 )
@@ -262,6 +263,11 @@ def warmup_stage(
     if state.eps is None:
         raise DynamicHMCError("no stepsize: run a stepsize search stage first")
     adaptation = stage.stepsize_adaptation
+    if isinstance(adaptation, PooledStepsize) and chain_axis is not None:
+        # under the vmapped fallback each lane sees a scalar acceptance, so
+        # pooling must go through the bound vmap axis — otherwise the
+        # "shared" eps silently adapts per-chain
+        adaptation = dataclasses.replace(adaptation, axis_name=chain_axis)
     da_state = adaptation.init(state.eps)
     dim = metric_dim(state.metric)
     use_welford = stage.metric_kind != "none"

@@ -171,6 +171,21 @@ def test_reshapers():
     assert stacked.shape == (200, 2, 3)
     pooled = pool_posterior_matrices(results)
     assert pooled.shape == (3, 400)
+    # one unbatched result is a single chain, not a silent transpose
+    assert stack_posterior_matrices(results[0]).shape == (200, 1, 3)
+    assert pool_posterior_matrices(results[0]).shape == (3, 200)
+
+
+def test_warmup_only_run():
+    """n_samples=0 (inspect the adaptation only) must return empty,
+    structurally-correct inference arrays on the fast path — not crash in
+    the chunk assembly after the whole warmup already ran."""
+    res = mcmc_with_warmup(jax.random.PRNGKey(3), std_mvn(3), 0,
+                           dtype=jnp.float64)
+    assert res.positions.shape == (0, 3)
+    assert res.logdensities.shape == (0,)
+    assert np.asarray(res.tree_statistics.depth).shape == (0,)
+    assert float(res.eps) > 0  # adaptation still ran
 
 
 def test_keep_warmup_matches_fast_engine():

@@ -70,6 +70,37 @@ def test_pooled_adaptation_synchronizes_metric():
     np.testing.assert_allclose(m_inv, [0.5, 1.0, 2.0], rtol=0.5)
 
 
+def test_pooled_stepsize_on_vmap_fallback_is_shared():
+    """A heterogeneous stage tuple (mixed metric kinds) is not fast-engine-
+    expressible, so the vmapped scan fallback runs it. PooledStepsize must
+    pool over the bound vmap axis there too — each lane otherwise sees only
+    its own scalar acceptance and the 'shared' eps silently adapts
+    per-chain (caught by review, round 3)."""
+    from dynamichmc_tpu.stepsize import PooledStepsize
+    from dynamichmc_tpu.warmup import TuningNUTS
+    from dynamichmc_tpu.stepsize import InitialStepsizeSearch
+
+    pooled_da = PooledStepsize()
+    stages = (
+        InitialStepsizeSearch(),
+        TuningNUTS(N=40, metric_kind="diagonal", pooled=True,
+                   stepsize_adaptation=pooled_da),
+        TuningNUTS(N=40, metric_kind="dense", pooled=True,
+                   stepsize_adaptation=pooled_da),
+    )
+    res = run_chains(
+        jax.random.PRNGKey(11),
+        mvnormal(np.zeros(3), np.diag([0.5, 1.0, 2.0])),
+        n_chains=8,
+        n_samples=50,
+        dtype=jnp.float64,
+        warmup_stages=stages,
+    )
+    eps = np.asarray(res.eps)
+    assert eps.ndim == 0 or len(np.unique(eps)) == 1, eps
+    assert np.isfinite(eps).all() and (eps > 0).all()
+
+
 def test_pooled_stepsize_on_mesh_is_globally_shared():
     # under shard_map each device sees only its local lanes; PooledStepsize
     # must pmean the acceptance signal over the mesh axis so every device
