@@ -66,7 +66,13 @@ def evaluate_strict(ld: LogDensity, q) -> EvaluatedPoint:
 
     Raises :class:`DynamicHMCError` with a debug payload on any non-finite
     result, mirroring the ``strict = true`` branch of hamiltonian.jl:202-217
-    (used at mcmc.jl:131).
+    (used at mcmc.jl:131) — with one deliberate deviation: the reference's
+    first branch accepts a log density of exactly ``-Inf`` even in strict
+    mode, but a ``-Inf`` initial joint density makes every leaf's
+    ``delta = pi - pi0`` NaN (NaN never compares below ``min_delta``, so no
+    divergence ever fires and the sampler runs max-depth NaN trees). An
+    initial point must be inside the support; the batched init path
+    (parallel/chains.init_chain_states) applies the same rule.
     """
     q = jnp.asarray(q)
     if not bool(np.all(np.isfinite(np.asarray(q)))):
@@ -75,8 +81,6 @@ def evaluate_strict(ld: LogDensity, q) -> EvaluatedPoint:
     value_np = np.asarray(value)
     grad_np = np.asarray(grad)
     if np.isfinite(value_np) and np.all(np.isfinite(grad_np)):
-        return EvaluatedPoint(q=q, logdensity=jnp.asarray(value), grad=jnp.asarray(grad))
-    if value_np == -np.inf:
         return EvaluatedPoint(q=q, logdensity=jnp.asarray(value), grad=jnp.asarray(grad))
     if np.isfinite(value_np):
         raise DynamicHMCError("Gradient has non-finite elements.", q=q, grad=grad_np)

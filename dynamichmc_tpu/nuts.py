@@ -55,8 +55,14 @@ class NUTS:
     turn_statistic_configuration: object = "generalized"
 
     def __post_init__(self):
-        if not 0 < self.max_depth <= 32:
-            raise ValueError("max_depth must be in 1..32")
+        from .tree import MAX_TREE_DEPTH_BOUND
+
+        if not 0 < self.max_depth <= MAX_TREE_DEPTH_BOUND:
+            # 30, not the reference's 32: int32 leaf counters / position
+            # indices overflow at depth 31 (see tree.MAX_TREE_DEPTH_BOUND)
+            raise ValueError(
+                f"max_depth must be in 1..{MAX_TREE_DEPTH_BOUND}"
+            )
         if not self.min_delta < 0:
             raise ValueError("min_delta must be negative")
         c = self.turn_statistic_configuration

@@ -53,6 +53,17 @@ from .utils.pytree import tree_select_level, tree_update_level, tree_where
 MAX_DIRECTIONS_DEPTH = 32
 """Direction bits per transition; one uint32 draw (trees.jl:10,19-23)."""
 
+MAX_TREE_DEPTH_BOUND = 30
+"""Largest permitted ``max_depth``. The drivers track leaf counters and
+signed position indices in int32: indices span ``[-2^depth, +2^depth]`` and
+the adjacent-tree leaf count is ``1 << depth`` with ``depth`` up to
+``max_depth - 1``, so depth 31 overflows (``1 << 31`` wraps negative and the
+leaf loop silently no-ops, fabricating an all-zeros subtree). 30 keeps every
+counter in range. Deliberate deviation from the reference's bound of 32
+(trees.jl:10) — 2^30 leapfrog steps per transition is already far beyond any
+practical budget, and the reference's own Int64 counters are the only reason
+its bound is higher."""
+
 
 class TreeNoise(NamedTuple):
     """Injectable randomness for exact cross-driver equivalence gates.
@@ -126,6 +137,18 @@ def reached_max_depth(left, right):
 
 def is_turning_termination(left, right):
     return ~is_divergent_termination(left, right) & ~reached_max_depth(left, right)
+
+
+def normalize_termination(left, right):
+    """Canonicalize a turning span to ``left <= right`` (the reference can
+    emit reversed pairs for backward turning), keeping the divergence and
+    max-depth-sentinel encodings intact. Shared by all three drivers —
+    the encoding must stay byte-identical across them for the cross-driver
+    equivalence gates."""
+    is_sentinel = reached_max_depth(left, right)
+    lo = jnp.where(is_sentinel, left, jnp.minimum(left, right))
+    hi = jnp.where(is_sentinel, right, jnp.maximum(left, right))
+    return lo, hi
 
 
 @dataclasses.dataclass(frozen=True)
@@ -202,7 +225,6 @@ class _AdjacentResult(NamedTuple):
     z_end: Any
     i_end: Any
     v: Any
-    key: Any
 
 
 def _adjacent_tree(ops: TrajectoryOps, key, z, i, depth, is_forward, max_depth: int):
@@ -221,7 +243,7 @@ def _adjacent_tree(ops: TrajectoryOps, key, z, i, depth, is_forward, max_depth: 
     step = jnp.where(is_forward, jnp.int32(1), jnp.int32(-1))
     n_leaves = jnp.int32(1) << depth
 
-    def merge_pending(n, key, stack, node, i_start, i_new):
+    def merge_pending(n, key, stack, node, i_start):
         """Merge the new ``node`` with pending subtrees for every trailing
         one-bit of ``n``. Returns (node, level, turned, turn_left)."""
 
@@ -266,7 +288,7 @@ def _adjacent_tree(ops: TrajectoryOps, key, z, i, depth, is_forward, max_depth: 
         v = ops.combine_visited(carry["v"], v_l)
 
         node, level, turned, turn_left = merge_pending(
-            carry["n"], kleaf, carry["stack"], (zeta_l, omega_l, tau_l), i, i_new
+            carry["n"], kleaf, carry["stack"], (zeta_l, omega_l, tau_l), i
         )
         # Guard: a divergent leaf never merges (the reference returns before
         # merging, trees.jl:236-237). The merge above ran unconditionally for
@@ -317,7 +339,6 @@ def _adjacent_tree(ops: TrajectoryOps, key, z, i, depth, is_forward, max_depth: 
         z_end=out["z"],
         i_end=out["i"],
         v=out["v"],
-        key=out["key"],
     )
 
 
@@ -337,8 +358,8 @@ def sample_trajectory(
     ``max_depth`` is static (bounds both loops and the merge stack);
     ``directions`` is a uint32 of pre-drawn direction bits.
     """
-    if not 0 < max_depth <= MAX_DIRECTIONS_DEPTH:
-        raise ValueError(f"max_depth must be in 1..{MAX_DIRECTIONS_DEPTH}")
+    if not 0 < max_depth <= MAX_TREE_DEPTH_BOUND:
+        raise ValueError(f"max_depth must be in 1..{MAX_TREE_DEPTH_BOUND}")
 
     zeta0, omega0, tau0, _div0, v0 = ops.leaf(z, True)
 
@@ -423,13 +444,7 @@ def sample_trajectory(
     }
     out = jax.lax.while_loop(cond, body, init)
 
-    # Normalize turning descriptions to left <= right (the reference can emit
-    # reversed pairs for backward turning; we canonicalize, keeping the
-    # divergence/sentinel encodings intact).
-    tl, tr = out["term_left"], out["term_right"]
-    is_sentinel = reached_max_depth(tl, tr)
-    lo = jnp.where(is_sentinel, tl, jnp.minimum(tl, tr))
-    hi = jnp.where(is_sentinel, tr, jnp.maximum(tl, tr))
+    lo, hi = normalize_termination(out["term_left"], out["term_right"])
     return TrajectoryResult(
         zeta=out["zeta"], v=out["v"], term_left=lo, term_right=hi, depth=out["depth"]
     )
@@ -493,7 +508,7 @@ def _adjacent_tree_fast(
     n_leaves = jnp.int32(1) << depth
     neg_inf = jnp.asarray(-jnp.inf, jnp.result_type(delta_t))
 
-    def merge_pending(n, stack, tau, i_start, i_new):
+    def merge_pending(n, stack, tau, i_start):
         def mcond(carry):
             _tau, level, turned, _tl = carry
             pending = ((n >> level) & jnp.int32(1)) == jnp.int32(1)
@@ -538,7 +553,7 @@ def _adjacent_tree_fast(
         omega = jnp.logaddexp(carry["omega"], jnp.where(divergent, neg_inf, delta))
 
         tau, level, turned, turn_left = merge_pending(
-            carry["n"], carry["stack"], tau_l, i0, i_new
+            carry["n"], carry["stack"], tau_l, i0
         )
         invalid = divergent | (turned & ~divergent)
         left = jnp.where(divergent, i_new, turn_left)
@@ -591,8 +606,8 @@ def sample_trajectory_fast(
     :func:`sample_trajectory` for multinomial-within / biased-at-doubling
     proposal sampling (the NUTS configuration). ``noise`` (tests only) makes
     the transition fully deterministic — see :class:`TreeNoise`."""
-    if not 0 < max_depth <= MAX_DIRECTIONS_DEPTH:
-        raise ValueError(f"max_depth must be in 1..{MAX_DIRECTIONS_DEPTH}")
+    if not 0 < max_depth <= MAX_TREE_DEPTH_BOUND:
+        raise ValueError(f"max_depth must be in 1..{MAX_TREE_DEPTH_BOUND}")
 
     delta0, tau0, _div0, v0, payload0 = ops.leaf(z, True)
 
@@ -679,10 +694,7 @@ def sample_trajectory_fast(
         "key": key,
     }
     out = jax.lax.while_loop(cond, body, init)
-    tl, tr = out["term_left"], out["term_right"]
-    is_sentinel = reached_max_depth(tl, tr)
-    lo = jnp.where(is_sentinel, tl, jnp.minimum(tl, tr))
-    hi = jnp.where(is_sentinel, tr, jnp.maximum(tl, tr))
+    lo, hi = normalize_termination(out["term_left"], out["term_right"])
     return TrajectoryResult(
         zeta=out["payload"], v=out["v"], term_left=lo, term_right=hi,
         depth=out["depth"],

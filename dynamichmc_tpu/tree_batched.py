@@ -51,6 +51,7 @@ from .hamiltonian import EvaluatedPoint
 from .logdensity import LogDensity
 from .metric import DiagonalMetric, Metric
 from .nuts import NUTS, AcceptanceStatistic, TreeStatistics, acceptance_rate
+from .tree import normalize_termination
 
 # Profiling-only ablation switches (scripts/profile_leaf.py): members of
 # {"merge", "best", "stats"} disable pieces of the leaf body AT TRACE TIME to
@@ -630,10 +631,7 @@ def sample_tree_batched(
 
 def _finish_transition(out, directions, C, scratch):
     """Shared epilogue: normalize termination encoding and pack statistics."""
-    tl, tr = out["term_left"], out["term_right"]
-    sentinel = (tl == 1) & (tr == 0)
-    lo = jnp.where(sentinel, tl, jnp.minimum(tl, tr))
-    hi = jnp.where(sentinel, tr, jnp.maximum(tl, tr))
+    lo, hi = normalize_termination(out["term_left"], out["term_right"])
     stats = TreeStatistics(
         logdensity=out["prop_pi"],
         depth=out["depth"],

@@ -188,6 +188,16 @@ def test_strict_evaluation_errors():
         evaluate_strict(
             from_logdensity_fn(1, lambda q: -q[0] ** 2), jnp.asarray([jnp.nan])
         )
+    # an initial point OUTSIDE the support (-inf) is also rejected: a -inf
+    # pi0 makes every leaf delta NaN, which never flags divergent
+    # (deliberate deviation from hamiltonian.jl's strict branch)
+    with pytest.raises(DynamicHMCError, match="Invalid log posterior"):
+        evaluate_strict(
+            from_logdensity_fn(
+                1, lambda q: jnp.where(q[0] > 0, -q[0], -jnp.inf)
+            ),
+            jnp.asarray([-1.0]),
+        )
 
 
 def test_fixed_length_hmc_recovers_standard_normal():
