@@ -41,11 +41,25 @@ def save_state(path: str, state: Any, key=None) -> None:
 
 
 def load_state(path: str) -> Tuple[Any, Any]:
-    """Restore (state, key) saved by :func:`save_state`."""
+    """Restore (state, key) saved by :func:`save_state`.
+
+    Refuses to silently downcast: a checkpoint holding 64-bit leaves (a CPU
+    x64 run) loaded in a process with x64 disabled would truncate positions,
+    eps, and Welford accumulators to f32 — corrupted resume, no error.
+    """
     with open(os.path.join(path, _STRUCTURE_FILE), "rb") as fh:
         treedef = pickle.load(fh)
     data = np.load(os.path.join(path, _ARRAYS_FILE))
-    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(data.files))]
+    raw = [data[f"leaf_{i}"] for i in range(len(data.files))]
+    if not jax.config.jax_enable_x64 and any(
+        r.dtype in (np.float64, np.int64) for r in raw
+    ):
+        raise ValueError(
+            "checkpoint contains 64-bit arrays but jax_enable_x64 is off; "
+            "enable x64 (jax.config.update('jax_enable_x64', True)) before "
+            "loading, or re-save the checkpoint at 32-bit"
+        )
+    leaves = [jnp.asarray(r) for r in raw]
     payload = jax.tree_util.tree_unflatten(treedef, leaves)
     return payload["state"], payload["key"]
 

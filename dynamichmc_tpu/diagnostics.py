@@ -32,7 +32,9 @@ def EBFMI(tree_statistics: TreeStatistics) -> jnp.ndarray:
     kinetic energy (Betancourt 2016). Works on (N,) or batched (C, N) stats."""
     pis = tree_statistics.logdensity
     d = jnp.diff(pis, axis=-1)
-    return jnp.mean(d**2, axis=-1) / jnp.var(pis, axis=-1)
+    # ddof=1: Julia's var() is the corrected sample variance — ddof=0 would
+    # read the statistic high by N/(N-1) vs the reference on short windows
+    return jnp.mean(d**2, axis=-1) / jnp.var(pis, axis=-1, ddof=1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,7 +151,12 @@ def leapfrog_trajectory(
     each direction at the first non-finite log density. Returns a list of
     dicts with ``z`` (PhasePoint), ``position``, and ``delta`` (energy change
     relative to position 0), sorted by position. Host-side debug tool.
+
+    A strided range still *integrates* every intermediate leapfrog step
+    (physics — a step cannot be skipped) but only the requested positions
+    are returned.
     """
+    requested = set(positions) | {0}
     lo, hi = min(positions), max(positions)
     if not lo <= 0 <= hi:
         raise ValueError("positions must contain 0")
@@ -184,6 +191,7 @@ def leapfrog_trajectory(
             break
         z = step(z, jnp.asarray(-eps, q.dtype))
         out.append(info(z, -i))
+    out = [r for r in out if r["position"] in requested]
     return sorted(out, key=lambda r: r["position"])
 
 

@@ -36,7 +36,12 @@ def _gaussian_model(mean: jnp.ndarray, cov: np.ndarray, fused: bool = False) -> 
         from ..ops.pallas_leaf import make_gaussian_fused_leaf_batched
         from ..ops.pallas_leapfrog import make_gaussian_fused_leapfrog
 
-        fused_leapfrog_fn = make_gaussian_fused_leapfrog(prec, mean)
+        # both fused hooks share the model's EXACT L^T (f64-constructed):
+        # re-deriving it from an f32-rounded prec would make the kernels'
+        # whitened values disagree with the model's own logdensity
+        fused_leapfrog_fn = make_gaussian_fused_leapfrog(
+            prec, mean, prec_chol_t=prec_chol_t
+        )
         fused_leaf_batched_fn = make_gaussian_fused_leaf_batched(
             prec, mean, prec_chol_t=prec_chol_t
         )

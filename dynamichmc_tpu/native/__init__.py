@@ -18,23 +18,45 @@ from typing import Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "fastdiag.so")
+_CPP = os.path.join(_DIR, "fastdiag.cpp")
+
+
+def _so_path() -> str:
+    """Host-keyed artifact name. The binary is compiled with -march=native,
+    and this repo directory travels across heterogeneous hosts (same hazard
+    as the XLA compile cache, utils/cache.py): a foreign host must never
+    load another machine's ISA-specialized .so (SIGILL instead of the
+    promised numpy fallback)."""
+    from ..utils.cache import host_fingerprint
+
+    return os.path.join(_DIR, f"fastdiag-{host_fingerprint()}.so")
+
+
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _build(so: str) -> bool:
     try:
         subprocess.run(
-            ["make", "-s", "-C", _DIR],
+            ["make", "-s", "-C", _DIR, f"TARGET={os.path.basename(so)}"],
             check=True,
             capture_output=True,
             timeout=120,
         )
-        return os.path.exists(_SO)
+        return os.path.exists(so)
     except Exception:
         return False
+
+
+def _stale(so: str) -> bool:
+    """Rebuild when the source is newer than the binary: a stale artifact
+    would silently serve old math."""
+    try:
+        return os.path.getmtime(_CPP) > os.path.getmtime(so)
+    except OSError:
+        return True
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -47,7 +69,8 @@ def load() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("DYNHMC_NO_NATIVE"):
             return None  # kill-switch: force the numpy fallback
-        if not os.path.exists(_SO) and not _build():
+        _SO = _so_path()
+        if (not os.path.exists(_SO) or _stale(_SO)) and not _build(_SO):
             return None
         try:
             lib = ctypes.CDLL(_SO)

@@ -18,6 +18,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <numeric>
 #include <vector>
 
@@ -74,8 +75,15 @@ double inv_norm_cdf(double p) {
 void rank_normalize(double* x, int64_t n, std::vector<int64_t>& order) {
     order.resize(n);
     std::iota(order.begin(), order.end(), 0);
-    std::stable_sort(order.begin(), order.end(),
-                     [&](int64_t i, int64_t j) { return x[i] < x[j]; });
+    // NaN-aware comparator: plain `x[i] < x[j]` makes NaN "equivalent" to
+    // everything while finite elements stay ordered — not a strict weak
+    // ordering, which is UB for std::stable_sort. Order NaN last
+    // deterministically (numpy argsort semantics).
+    std::stable_sort(order.begin(), order.end(), [&](int64_t i, int64_t j) {
+        const bool ni = std::isnan(x[i]), nj = std::isnan(x[j]);
+        if (ni || nj) return nj && !ni;
+        return x[i] < x[j];
+    });
     const double denom = n + 0.25;
     int64_t r = 0;
     while (r < n) {
@@ -208,6 +216,7 @@ double ess_basic(const double* x, int64_t c, int64_t n) {
 
 // numpy type-7 (linear interpolation) quantile of unsorted data.
 double quantile7(std::vector<double> v, double q) {
+    if (v.empty()) return std::numeric_limits<double>::quiet_NaN();
     std::sort(v.begin(), v.end());
     double pos = q * (v.size() - 1);
     int64_t lo = (int64_t)std::floor(pos);
@@ -226,6 +235,13 @@ struct Work {
 void one_param(const double* x, int64_t c, int64_t n, Work& w, double* ess_bulk,
                double* ess_tail, double* rhat) {
     int64_t half = n / 2, c2 = 2 * c, m = c2 * half;
+    if (half < 2) {
+        // split rank-normalized statistics need >= 2 draws per half; a
+        // degenerate n would index empty buffers (out-of-bounds) below
+        const double nan = std::numeric_limits<double>::quiet_NaN();
+        *ess_bulk = *ess_tail = *rhat = nan;
+        return;
+    }
     w.split.resize(m);
     for (int64_t i = 0; i < c; ++i) {
         std::memcpy(&w.split[i * half], x + i * n, half * sizeof(double));

@@ -71,14 +71,24 @@ def make_gaussian_fused_leaf_batched(
     """
     import numpy as _np
 
-    prec = jnp.asarray(prec, jnp.float32)
-    k = prec.shape[0]
-    mu = jnp.zeros((k,), jnp.float32) if mu is None else jnp.asarray(mu, jnp.float32)
+    # full-precision copies serve the non-f32/dense fallback (an f64 run
+    # must integrate the SAME target the model's f64 logdensity defines —
+    # truncating to f32 first would mix two targets across pi0 and leaves)
+    prec_full = jnp.asarray(prec)
+    k = prec_full.shape[0]
+    mu_full = (
+        jnp.zeros((k,), prec_full.dtype) if mu is None else jnp.asarray(mu)
+    )
     if prec_chol_t is None:
         prec_chol_t = jnp.asarray(
-            _np.linalg.cholesky(_np.asarray(prec, _np.float64)).T, jnp.float32
+            _np.linalg.cholesky(
+                _np.asarray(prec_full, _np.float64)
+            ).T.astype(_np.asarray(prec_full).dtype)
         )
-    lchol = jnp.asarray(prec_chol_t, jnp.float32).T  # lower L: prec = L L^T
+    lchol_full = jnp.asarray(prec_chol_t).T  # lower L: prec = L L^T
+    prec = prec_full.astype(jnp.float32)
+    mu = mu_full.astype(jnp.float32)
+    lchol = lchol_full.astype(jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kp = _round_up(k, 128)
@@ -93,9 +103,9 @@ def make_gaussian_fused_leaf_batched(
             from ..logdensity import LogDensity
 
             def _val_grad(qq):
-                d = qq - mu.astype(qq.dtype)
-                w = lchol.T.astype(qq.dtype) @ d
-                return -0.5 * jnp.sum(w * w), -(prec.astype(qq.dtype) @ d)
+                d = qq - mu_full.astype(qq.dtype)
+                w = lchol_full.T.astype(qq.dtype) @ d
+                return -0.5 * jnp.sum(w * w), -(prec_full.astype(qq.dtype) @ d)
 
             ref_ld = LogDensity(
                 dim=k,

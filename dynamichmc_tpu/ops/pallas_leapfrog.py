@@ -125,6 +125,7 @@ def make_gaussian_fused_leapfrog(
     mu: Optional[jnp.ndarray] = None,
     block_c: int = 256,
     interpret: Optional[bool] = None,
+    prec_chol_t: Optional[jnp.ndarray] = None,
 ):
     """Build a fused-leapfrog hook for ``LogDensity.fused_leapfrog_fn``.
 
@@ -132,15 +133,33 @@ def make_gaussian_fused_leapfrog(
     per-chain :class:`DiagonalMetric`. Unbatched calls use pure JAX; under
     ``vmap`` the batched Pallas kernel runs (``interpret=True`` forces the
     Pallas interpreter — used for CPU tests; default: interpret off-TPU).
+
+    ``prec_chol_t``: the model's exact L^T (from the f64 construction) so
+    the whitened log density matches the model's ``logdensity`` bitwise at
+    matching precision — pass the SAME array the model itself uses (the
+    fused-leaf hook takes it too); re-deriving it here from an
+    f32-truncated ``prec`` would make the kernel integrate a slightly
+    different target than the model evaluated pi0 on.
     """
     import numpy as _np
 
-    prec = jnp.asarray(prec, jnp.float32)
-    k = prec.shape[0]
-    mu = jnp.zeros((k,), jnp.float32) if mu is None else jnp.asarray(mu, jnp.float32)
-    lchol = jnp.asarray(
-        _np.linalg.cholesky(_np.asarray(prec, _np.float64)), jnp.float32
+    # full-precision copies serve the non-f32 / dense-metric fallbacks; the
+    # kernel operands are rounded to f32 separately
+    prec_full = jnp.asarray(prec)
+    k = prec_full.shape[0]
+    mu_full = (
+        jnp.zeros((k,), prec_full.dtype) if mu is None else jnp.asarray(mu)
     )
+    if prec_chol_t is None:
+        prec_chol_t = jnp.asarray(
+            _np.linalg.cholesky(
+                _np.asarray(prec_full, _np.float64)
+            ).T.astype(_np.asarray(prec_full).dtype)
+        )
+    lchol_full = jnp.asarray(prec_chol_t).T  # lower L: prec = L L^T
+    prec = prec_full.astype(jnp.float32)
+    mu = mu_full.astype(jnp.float32)
+    lchol = lchol_full.astype(jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -181,19 +200,21 @@ def make_gaussian_fused_leapfrog(
         return out, (True, True, True, True)
 
     def fused_leapfrog(metric, z: PhasePoint, eps_signed) -> PhasePoint:
-        if not isinstance(metric, DiagonalMetric):
-            # Dense metric (e.g. after a dense-metric warmup update): the
-            # kernel only handles a diagonal inverse mass, so fall back to
-            # the pure-JAX leapfrog instead of failing at trace time (the
-            # batched fused leaf in pallas_leaf.py does the same).
+        if not isinstance(metric, DiagonalMetric) or z.Q.q.dtype != jnp.float32:
+            # Dense metric (after a dense-metric warmup update) or a non-f32
+            # run (CPU x64 numerical tests): the kernel handles only a
+            # diagonal inverse mass at f32, so fall back to the pure-JAX
+            # leapfrog at the CALLER's precision using the full-precision
+            # target arrays (the batched fused leaf does the same).
             from ..metric import psharp
 
+            dt = z.Q.q.dtype
             half = 0.5 * eps_signed
             p_mid = z.p + half * z.Q.grad
             q_new = z.Q.q + eps_signed * psharp(metric, p_mid)
-            d = q_new - mu
-            g_new = -(prec @ d)
-            w = lchol.T @ d
+            d = q_new - mu_full.astype(dt)
+            g_new = -(prec_full.astype(dt) @ d)
+            w = lchol_full.T.astype(dt) @ d
             ld = -0.5 * jnp.sum(w * w)
             p_new = p_mid + half * g_new
             ok = jnp.isfinite(ld) & jnp.all(jnp.isfinite(g_new))

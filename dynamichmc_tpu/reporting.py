@@ -129,9 +129,19 @@ class TqdmProgressReport:
 
     def report_step(self, step: int, **meta):
         bar = getattr(self, "_bar", None)
-        if bar is not None:
-            bar.update(step - getattr(self, "_count", 0))
-            self._count = step
+        if bar is None:
+            return
+        # ``step`` is the 0-based scan index; callbacks may arrive out of
+        # order (ordered=False), so track the monotone max of completed
+        # steps and close the bar at 100% (it would otherwise park at
+        # total-1 and linger until GC, garbling later stage bars)
+        done = step + 1
+        count = getattr(self, "_count", 0)
+        if done > count:
+            bar.update(done - count)
+            self._count = done
+        if bar.total is not None and self._count >= bar.total:
+            bar.close()
 
     @property
     def wants_step_callbacks(self) -> bool:

@@ -48,3 +48,30 @@ def test_stats_dispatches_to_native(lib_available):
     via_stats = stats.ess_rhat(x, use_native=True)
     direct = native.ess_rhat_batch(x)
     np.testing.assert_allclose(via_stats["rhat"], direct["rhat"])
+
+
+def test_nan_input_is_defined(lib_available):
+    """A NaN draw must not trip std::stable_sort UB (the plain < comparator
+    violated strict weak ordering on NaN); outputs just need to be
+    deterministic and crash-free."""
+    x = make_chains(3)
+    x[0, 5, 0] = np.nan
+    got1 = native.ess_rhat_batch(x)
+    got2 = native.ess_rhat_batch(x)
+    for key in ["ess_bulk", "ess_tail", "rhat"]:
+        np.testing.assert_array_equal(got1[key], got2[key])
+    # untouched parameters keep exact parity with the numpy path
+    want = stats.ess_rhat(x[:, :, 1:], use_native=False)
+    np.testing.assert_allclose(got1["rhat"][1:], want["rhat"], rtol=1e-7)
+
+
+def test_degenerate_draw_counts(lib_available):
+    """n < 4 draws: the split-rank pipeline is undefined — the native path
+    must return NaN, never read out of bounds (previously a heap overread
+    via quantile7 on an empty vector)."""
+    for n in (1, 2, 3):
+        x = np.random.default_rng(n).normal(size=(4, n, 2))
+        got = native.ess_rhat_batch(x)
+        assert got is not None
+        if n < 4:
+            assert np.isnan(got["ess_bulk"]).all() or n >= 4
