@@ -130,6 +130,13 @@ class TransformStack:
         return sum(t.output_dim for t in self.transforms)
 
     def forward_with_logdet(self, x):
+        if x.shape[-1] != self.input_dim:
+            # a mismatched vector would silently slice short/past the data
+            # and return wrong-but-plausible values
+            raise ValueError(
+                f"expected an unconstrained vector of length "
+                f"{self.input_dim}, got {x.shape[-1]}"
+            )
         ys, log_j, off = [], jnp.zeros((), x.dtype), 0
         for t in self.transforms:
             y, lj = t.forward(x[off : off + t.input_dim])
@@ -142,6 +149,11 @@ class TransformStack:
         return self.forward_with_logdet(x)[0]
 
     def inverse(self, y):
+        if y.shape[-1] != self.output_dim:
+            raise ValueError(
+                f"expected a constrained vector of length "
+                f"{self.output_dim}, got {y.shape[-1]}"
+            )
         xs, off = [], 0
         for t in self.transforms:
             xs.append(jnp.atleast_1d(t.inverse(y[off : off + t.output_dim])))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .base import TestModel
 
@@ -34,8 +35,10 @@ def funnel(dim: int, sigma_v: float = 3.0, dtype=jnp.float64) -> TestModel:
 
     # v-marginal misses -0.5 log(2 pi sigma_v^2); each x_i misses
     # -0.5 log(2 pi) (the -v/2 Jacobian part IS in lp_x).
+    # host-side np: model construction must not touch the XLA backend, and
+    # an f32-rounded constant would leak into exact mixture weighting
     log_normalization = float(
-        -0.5 * dim * jnp.log(2 * jnp.pi) - jnp.log(sigma_v)
+        -0.5 * dim * np.log(2 * np.pi) - np.log(sigma_v)
     )
     return TestModel(
         dim=dim,

@@ -45,4 +45,11 @@ def elongate(gamma: float, model: TestModel) -> TestModel:
             x = model.sample(key, n)
             return jnp.sign(x) * jnp.abs(x) ** a
 
-    return TestModel(dim=model.dim, logdensity_fn=logdensity_fn, sample_fn=sample_fn)
+    # a change of variables preserves the normalization constant exactly,
+    # so elongated targets remain usable as mixture components
+    return TestModel(
+        dim=model.dim,
+        logdensity_fn=logdensity_fn,
+        sample_fn=sample_fn,
+        log_normalization=model.log_normalization,
+    )

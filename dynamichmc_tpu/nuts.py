@@ -159,6 +159,45 @@ def _combine_turn_statistics(x: GeneralizedTurnStatistic, y: GeneralizedTurnStat
     return combined, t1 | t2 | t3
 
 
+def combine_acceptance_statistics(a: AcceptanceStatistic, b: AcceptanceStatistic):
+    """NUTS.jl:69-71 — shared by the generic and fast ops bundles (any
+    change to the acceptance bookkeeping must reach both in lockstep; the
+    equivalence gates compare the drivers built on them)."""
+    return AcceptanceStatistic(
+        log_sum_alpha=jnp.logaddexp(a.log_sum_alpha, b.log_sum_alpha),
+        steps=a.steps + b.steps,
+    )
+
+
+def acceptance_identity(v: AcceptanceStatistic):
+    """Identity element for :func:`combine_acceptance_statistics`
+    (the reference encodes it as the initial leaf, NUTS.jl:78-80)."""
+    return AcceptanceStatistic(
+        log_sum_alpha=jnp.full_like(v.log_sum_alpha, -jnp.inf),
+        steps=jnp.zeros_like(v.steps),
+    )
+
+
+def _leaf_acceptance(delta, is_initial: bool, min_delta):
+    """(acceptance statistic, divergent) for one leaf given delta = pi - pi0
+    (NUTS.jl:59-67,148-159); the initial leaf contributes nothing and is
+    never divergent."""
+    if is_initial:
+        return (
+            AcceptanceStatistic(
+                log_sum_alpha=jnp.asarray(-jnp.inf, delta.dtype),
+                steps=jnp.int32(0),
+            ),
+            jnp.asarray(False),
+        )
+    return (
+        AcceptanceStatistic(
+            log_sum_alpha=jnp.minimum(delta, 0.0), steps=jnp.int32(1)
+        ),
+        delta < min_delta,
+    )
+
+
 def make_trajectory_ops(
     ld: LogDensity, metric: Metric, pi0, eps, min_delta,
     turn_statistic_configuration="generalized",
@@ -174,19 +213,12 @@ def make_trajectory_ops(
         return leapfrog(ld, metric, z, signed_eps)
 
     def leaf(z: PhasePoint, is_initial: bool):
-        if is_initial:
-            delta = jnp.zeros_like(pi0)
-            v = AcceptanceStatistic(
-                log_sum_alpha=jnp.asarray(-jnp.inf, delta.dtype),
-                steps=jnp.int32(0),
-            )
-            divergent = jnp.asarray(False)
-        else:
-            delta = joint_logdensity(metric, z) - pi0
-            v = AcceptanceStatistic(
-                log_sum_alpha=jnp.minimum(delta, 0.0), steps=jnp.int32(1)
-            )
-            divergent = delta < min_delta
+        delta = (
+            jnp.zeros_like(pi0)
+            if is_initial
+            else joint_logdensity(metric, z) - pi0
+        )
+        v, divergent = _leaf_acceptance(delta, is_initial, min_delta)
         if custom:
             tau = turn_statistic_configuration.leaf(metric, z)
         else:
@@ -211,26 +243,14 @@ def make_trajectory_ops(
         accept = (logprob2 >= 0) | (jax.random.exponential(key) > -logprob2)
         return tree_where(accept, z2, z1)
 
-    def combine_visited(a: AcceptanceStatistic, b: AcceptanceStatistic):
-        return AcceptanceStatistic(
-            log_sum_alpha=jnp.logaddexp(a.log_sum_alpha, b.log_sum_alpha),
-            steps=a.steps + b.steps,
-        )
-
-    def visited_identity(v: AcceptanceStatistic):
-        return AcceptanceStatistic(
-            log_sum_alpha=jnp.full_like(v.log_sum_alpha, -jnp.inf),
-            steps=jnp.zeros_like(v.steps),
-        )
-
     return TrajectoryOps(
         move=move,
         leaf=leaf,
         combine_turn=combine_turn,
         calculate_logprob2=calculate_logprob2,
         combine_proposals=combine_proposals,
-        combine_visited=combine_visited,
-        visited_identity=visited_identity,
+        combine_visited=combine_acceptance_statistics,
+        visited_identity=acceptance_identity,
     )
 
 
@@ -264,19 +284,8 @@ def make_fast_trajectory_ops(
 
     def leaf(z: PhasePoint, is_initial: bool):
         pi = joint_logdensity(metric, z)
-        if is_initial:
-            delta = jnp.zeros_like(pi0)
-            v = AcceptanceStatistic(
-                log_sum_alpha=jnp.asarray(-jnp.inf, delta.dtype),
-                steps=jnp.int32(0),
-            )
-            divergent = jnp.asarray(False)
-        else:
-            delta = pi - pi0
-            v = AcceptanceStatistic(
-                log_sum_alpha=jnp.minimum(delta, 0.0), steps=jnp.int32(1)
-            )
-            divergent = delta < min_delta
+        delta = jnp.zeros_like(pi0) if is_initial else pi - pi0
+        v, divergent = _leaf_acceptance(delta, is_initial, min_delta)
         tau = CompactTurnStatistic(p_minus=z.p, p_plus=z.p, rho=z.p)
         payload = {
             "q": z.Q.q,
@@ -295,24 +304,12 @@ def make_fast_trajectory_ops(
         combined = CompactTurnStatistic(p_minus=x.p_minus, p_plus=y.p_plus, rho=rho)
         return combined, t1 | t2 | t3
 
-    def combine_visited(a: AcceptanceStatistic, b: AcceptanceStatistic):
-        return AcceptanceStatistic(
-            log_sum_alpha=jnp.logaddexp(a.log_sum_alpha, b.log_sum_alpha),
-            steps=a.steps + b.steps,
-        )
-
-    def visited_identity(v: AcceptanceStatistic):
-        return AcceptanceStatistic(
-            log_sum_alpha=jnp.full_like(v.log_sum_alpha, -jnp.inf),
-            steps=jnp.zeros_like(v.steps),
-        )
-
     return FastTrajectoryOps(
         move=move,
         leaf=leaf,
         combine_turn=combine_turn,
-        combine_visited=combine_visited,
-        visited_identity=visited_identity,
+        combine_visited=combine_acceptance_statistics,
+        visited_identity=acceptance_identity,
     )
 
 

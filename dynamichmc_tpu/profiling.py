@@ -44,7 +44,7 @@ def benchmark(
     t0 = time.perf_counter()
     out = fn(*args, **kwargs)
     jax.block_until_ready(out)
-    compile_s = time.perf_counter() - t0
+    first_call_s = time.perf_counter() - t0
     for _ in range(max(warmup - 1, 0)):
         jax.block_until_ready(fn(*args, **kwargs))
     t0 = time.perf_counter()
@@ -54,7 +54,11 @@ def benchmark(
     per_iter = (time.perf_counter() - t0) / iters
     result = {
         "name": name or getattr(fn, "__name__", "fn"),
-        "compile_seconds": compile_s,
+        # the first call = trace + compile + ONE execution; subtracting a
+        # steady-state iteration isolates the compile cost (a ~12 s dispatch
+        # over a ~4 s compile would otherwise overstate compile 4x)
+        "compile_seconds": max(first_call_s - per_iter, 0.0),
+        "first_call_seconds": first_call_s,
         "seconds_per_iteration": per_iter,
         "output": out,
     }

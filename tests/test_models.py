@@ -67,3 +67,24 @@ def test_rosenbrock_runs():
     # banana: y ~ b*x^2 => strong curvature; check E[y - 5x^2] ~ 0
     x, y = qs[:, 0], qs[:, 1]
     assert abs((y - 5 * x**2).mean()) < 0.2
+
+
+def test_elongate_preserves_normalization():
+    """A change of variables preserves the normalization constant exactly,
+    so elongated targets must stay usable as mixture components — the
+    reference's elongate-then-mix workload
+    (sample-correctness_tests.jl:100-118)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from dynamichmc_tpu.models import elongate, mixture, std_normal
+
+    base = std_normal(2)
+    el = elongate(1.1, base)
+    assert el.log_normalization == base.log_normalization
+    mix = mixture(0.5, el, std_normal(2))  # raised ValueError before the fix
+    v = float(mix.logdensity_fn(jnp.asarray([0.5, -0.3])))
+    assert np.isfinite(v)
+    # exact samplers compose: the mixture draws from both components
+    draws = np.asarray(mix.sample(jax.random.PRNGKey(0), 4000))
+    assert np.isfinite(draws).all()
+    np.testing.assert_allclose(draws.mean(0), [0.0, 0.0], atol=0.1)
