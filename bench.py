@@ -36,11 +36,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _ess_per_sec(positions: np.ndarray, seconds: float) -> tuple:
+def _ess_per_sec(positions, seconds: float) -> tuple:
     """Min/mean pooled bulk-ESS across parameters, per second (native
-    fastdiag batch engine when available; numpy parity fallback)."""
+    fastdiag batch engine when available; numpy parity fallback).
+
+    BENCH_ESS_DEVICE=1 computes the ESS ON the TPU (stats_device.py, f32) —
+    the only path that scales past ~8k chains: the host-side f64 evaluation
+    of a 16384x512x100 run (6.7 GB, 1 core) exceeds a 25-minute budget while
+    the draws already live on the chip. Default remains the host f64 path
+    (metric continuity across rounds)."""
+    if int(os.environ.get("BENCH_ESS_DEVICE", "0")):
+        from dynamichmc_tpu.stats_device import ess_rhat_device
+
+        out = ess_rhat_device(jnp.asarray(positions))
+        ess = np.asarray(out["ess_bulk"], np.float64)
+        return float(ess.min() / seconds), float(ess.mean() / seconds)
     from dynamichmc_tpu.stats import ess_bulk, ess_rhat
 
+    positions = np.asarray(positions, np.float64)
     try:
         ess = np.asarray(ess_rhat(positions)["ess_bulk"])
     except Exception:
@@ -161,7 +174,12 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
         log(f"run_chains returned at {time.perf_counter() - t0:.2f}s")
     res.positions.block_until_ready()
     seconds = time.perf_counter() - t0
-    positions = np.asarray(res.positions, np.float64)
+    if int(os.environ.get("BENCH_ESS_DEVICE", "0")):
+        # keep the draws on device for the on-chip ESS path (transferring
+        # 16384x512x100 f32 through the tunnel costs minutes by itself)
+        positions = res.positions
+    else:
+        positions = np.asarray(res.positions, np.float64)
     div = int(np.asarray(res.tree_statistics.is_divergent).sum())
     steps = int(np.asarray(res.tree_statistics.steps, np.int64).sum())
     if res.tree_statistics.work is not None:

@@ -52,6 +52,7 @@ from .reporting import (
     default_reporter,
 )
 from .stats import ess_rhat
+from .stats_device import ess_rhat_device
 from .mcmc import (
     InferenceResult,
     MCMCResult,

@@ -53,13 +53,18 @@ class StageSummary(NamedTuple):
 
 
 def make_search_driver(ld: LogDensity, params: InitialStepsizeSearch):
-    """(key, Q, metric) -> (eps, success); one small program."""
+    """(key, Q, metric) -> (eps, success, l0); one small program.
+
+    ``l0`` is the joint log density at the starting point: jitted code cannot
+    throw, so the reference's non-finite-start guard (stepsize.jl:77-79) is
+    enforced host-side by ``_check_stepsize_search`` on this value."""
 
     def search(key, Q: EvaluatedPoint, metric: Metric):
         p = rand_p(key, metric, dtype=Q.q.dtype)
         z = PhasePoint(Q=Q, p=p)
-        A, _ = local_log_acceptance_ratio(ld, metric, z)
-        return find_initial_stepsize(params, A, dtype=Q.q.dtype)
+        A, l0 = local_log_acceptance_ratio(ld, metric, z)
+        eps, success = find_initial_stepsize(params, A, dtype=Q.q.dtype)
+        return eps, success, l0
 
     return search
 
@@ -580,8 +585,8 @@ def execute(
             raise DynamicHMCError(
                 "stepsize eps manually specified, won't perform initial search"
             )
-        eps, success = programs.search(key_fold(0), Q, metric)
-        search_results = {"eps": eps, "success": success}
+        eps, success, l0 = programs.search(key_fold(0), Q, metric)
+        search_results = {"eps": eps, "success": success, "l0": l0}
     elif eps is None:
         raise DynamicHMCError("no stepsize: provide eps or a search stage")
     if log is not None:
@@ -741,8 +746,13 @@ def execute(
                 4 * step_count,
             )))
             if log is not None:
+                # chunk-boundary steps/sec + ETA (reporting.jl:118-136
+                # semantics at dispatch granularity — zero hot-loop cost)
+                rate = step_count / max(wall, 1e-9)
+                eta = (total - start) * max(per_step_max, 1e-9)
                 log(
                     f"warmup: {start}/{total} steps ({wall:.1f}s, "
+                    f"{rate:.1f} steps/s, ~{eta:.1f}s left, "
                     f"next chunk {chunk})"
                 )
         eps = eps_run
@@ -846,7 +856,8 @@ def execute(
                     log(
                         f"warmup block {i + 1}/{len(schedule.block_sizes)} "
                         f"(wavefront): {int(g_now_v.max())} slots "
-                        f"({wall:.1f}s, next budget {wf_budget})"
+                        f"({wall:.1f}s, {iters / max(wall, 1e-9):.0f} "
+                        f"slots/s, next budget {wf_budget})"
                     )
                 if bool(_np.asarray(done).all()):
                     break
@@ -903,9 +914,12 @@ def execute(
                 4 * step_count,
             )))
             if log is not None:
+                rate = step_count / max(wall, 1e-9)
+                eta = (n - start) * max(per_step_max_blk, 1e-9)
                 log(
                     f"warmup block {i + 1}/{len(schedule.block_sizes)}: "
-                    f"{start}/{n} steps ({wall:.1f}s, next chunk {chunk})"
+                    f"{start}/{n} steps ({wall:.1f}s, {rate:.1f} steps/s, "
+                    f"~{eta:.1f}s left, next chunk {chunk})"
                 )
         if totals is None:
             totals = (
@@ -1041,10 +1055,13 @@ def execute(
                 pieces.append(tuple(group_out))
             if log is not None:
                 jax.block_until_ready(group_out[-1][1])
+                done = min((c + 1) * chunk, n_samples)
+                elapsed = _time.perf_counter() - t_sample
+                eta = (n_samples - done) * elapsed / max(done, 1)
                 log(
-                    f"sampling[stratified x{G}]: "
-                    f"{min((c + 1) * chunk, n_samples)}"
-                    f"/{n_samples} ({_time.perf_counter() - t_sample:.1f}s)"
+                    f"sampling[stratified x{G}]: {done}/{n_samples} "
+                    f"({elapsed:.1f}s, {done / max(elapsed, 1e-9):.1f} "
+                    f"draws/s, ~{eta:.1f}s left)"
                 )
         Q = _regroup_q(tuple(Q_parts), inv_perm)
         pieces_perm = None if draw_sink is not None else inv_perm
@@ -1094,9 +1111,13 @@ def execute(
                 pieces.append(((qs, lds, stats),))
             if log is not None:
                 jax.block_until_ready(lds)
+                done = min((c + 1) * programs.sample_chunk, n_samples)
+                elapsed = _time.perf_counter() - t_sample
+                eta = (n_samples - done) * elapsed / max(done, 1)
                 log(
-                    f"sampling: {min((c + 1) * programs.sample_chunk, n_samples)}"
-                    f"/{n_samples} ({_time.perf_counter() - t_sample:.1f}s)"
+                    f"sampling: {done}/{n_samples} ({elapsed:.1f}s, "
+                    f"{done / max(elapsed, 1e-9):.1f} draws/s, "
+                    f"~{eta:.1f}s left)"
                 )
         if perm_only_inv is not None:
             Q = _regroup_q((Q,), perm_only_inv)
@@ -1175,7 +1196,9 @@ def welford_zero_shared(dim: int, dense: bool, dtype) -> WelfordState:
 
 
 def make_search_driver_batched(ld: LogDensity, params: InitialStepsizeSearch):
-    """(key, Q, metric) -> (eps (C,), success (C,)) for a whole batch."""
+    """(key, Q, metric) -> (eps (C,), success (C,), l0 (C,)) for a whole
+    batch; ``l0`` feeds the host-side non-finite-start guard
+    (stepsize.jl:77-79 semantics, see ``_check_stepsize_search``)."""
     from .tree_batched import _Edge, _joint_b, _leapfrog_b, rand_p_b
 
     def search(key, Q: EvaluatedPoint, metric: Metric):
@@ -1213,7 +1236,7 @@ def make_search_driver_batched(ld: LogDensity, params: InitialStepsizeSearch):
             body,
             {"eps": eps0, "found": jnp.zeros((c,), bool), "it": jnp.int32(0)},
         )
-        return out["eps"], out["found"]
+        return out["eps"], out["found"], l0
 
     return search
 

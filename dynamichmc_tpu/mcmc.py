@@ -246,8 +246,8 @@ def _mcmc_keep_warmup_fast(
             raise DynamicHMCError(
                 "stepsize eps manually specified, won't perform initial search"
             )
-        eps, success = programs.search(key_fold(0), Q, metric)
-        search_results = {"eps": eps, "success": success}
+        eps, success, l0 = programs.search(key_fold(0), Q, metric)
+        search_results = {"eps": eps, "success": success, "l0": l0}
         # fail fast: this is the interactive inspection path, so the host
         # sync is cheap relative to running a whole warmup at a garbage eps
         _check_stepsize_search([(None, search_results, None)])
@@ -485,6 +485,18 @@ def _check_stepsize_search(history):
     """Host-side check replacing the reference's throw on a failed bracketing
     search (stepsize.jl:56-59)."""
     for _stage, results, _state in history:
+        if isinstance(results, dict) and "l0" in results:
+            # reference guard (stepsize.jl:77-79): a non-finite joint density
+            # at the search's starting point must be named as such (not as a
+            # generic bracketing failure) with a debug payload
+            l0 = np.atleast_1d(_to_local(results["l0"]))
+            bad = np.nonzero(~np.isfinite(l0))[0]
+            if bad.size:
+                raise DynamicHMCError(
+                    "Starting point has non-finite density.",
+                    chains=bad.tolist(),
+                    logdensity=l0[bad].tolist(),
+                )
         if isinstance(results, dict) and "success" in results:
             success = _to_local(results["success"])
             if not np.all(success):

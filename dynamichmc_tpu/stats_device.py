@@ -1,0 +1,200 @@
+"""On-device (jitted JAX) split rank-normalized R-hat and bulk/tail ESS.
+
+Same algorithm as :mod:`stats` (Vehtari et al. 2021 — the reference delegates
+these to MCMCDiagnosticTools, /root/reference/test/
+sample-correctness_utilities.jl:40-43), re-expressed with static shapes and
+masked vectorization so the whole computation jits: FFT autocovariance,
+average-tied rank normalization via sort + cummax/cummin run reconstruction,
+and the Geyer initial-positive + monotone sequences as closed-form masked
+reductions instead of data-dependent Python loops.
+
+Why it exists: the host-side numpy/fastdiag path is the scale ceiling — at
+16,384 chains x 512 draws x 100 params the f64 host evaluation (6.7 GB on a
+1-core box) exceeded a 25-minute budget, while the draws already live on the
+TPU. ``ess_rhat_device`` runs where the data is (params processed
+sequentially via ``lax.map`` to bound FFT scratch memory).
+
+Parity: pinned against :mod:`stats` to ~1e-6 relative in float64
+(tests/test_diagnostics.py); numpy/fastdiag remain the oracles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import ndtri
+
+
+def _split_chains(x):
+    """(C, N) -> (2C, N//2): split each chain in half (stats._split_chains)."""
+    c, n = x.shape
+    half = n // 2
+    return jnp.concatenate([x[:, :half], x[:, half : 2 * half]], axis=0)
+
+
+def _rank_normalize(x):
+    """Average-tied ranks across all entries -> inverse normal CDF with Blom
+    offsets; exact semantics of stats._rank_normalize (scipy ``rankdata``
+    method="average"). Tie runs are reconstructed from the sorted array with
+    cummax/cummin instead of host-side run indexing."""
+    shape = x.shape
+    flat = x.reshape(-1)
+    m = flat.shape[0]
+    order = jnp.argsort(flat)
+    svals = flat[order]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    one_true = jnp.ones((1,), bool)
+    starts = jnp.concatenate([one_true, svals[1:] != svals[:-1]])
+    # index of the run start governing each sorted position
+    start_of_run = jax.lax.cummax(jnp.where(starts, idx, jnp.int32(-1)))
+    is_end = jnp.concatenate([starts[1:], one_true])
+    end_of_run = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(is_end, idx, jnp.int32(m))))
+    )
+    # mean of 1-based ranks start+1 .. end+1 (inclusive)
+    avg = (start_of_run + end_of_run).astype(x.dtype) * 0.5 + 1.0
+    ranks = jnp.zeros((m,), x.dtype).at[order].set(avg)
+    z = ndtri((ranks - 0.375) / (m + 0.25))  # Blom offsets
+    return z.reshape(shape)
+
+
+def _autocovariance_fft(x):
+    """Biased autocovariance of each row via FFT; x (C, N) -> (C, N)."""
+    c, n = x.shape
+    xc = x - x.mean(axis=1, keepdims=True)
+    size = 1
+    while size < 2 * n:
+        size *= 2
+    f = jnp.fft.rfft(xc, size, axis=1)
+    acov = jnp.fft.irfft(f * jnp.conjugate(f), size, axis=1)[:, :n]
+    return acov.real.astype(x.dtype) / n
+
+
+def _rhat_basic(x):
+    """Classic split R-hat on (C, N) (stats._rhat_basic)."""
+    c, n = x.shape
+    chain_means = x.mean(axis=1)
+    chain_vars = x.var(axis=1, ddof=1)
+    w = chain_vars.mean()
+    b = n * chain_means.var(ddof=1)
+    var_plus = (n - 1) / n * w + b / n
+    return jnp.where(w == 0, 1.0, jnp.sqrt(var_plus / jnp.where(w == 0, 1.0, w)))
+
+
+def _ess_basic(x):
+    """Bulk ESS on (C, N): Geyer's initial monotone positive sequence,
+    combined across chains (Vehtari et al. 2021 eq. 10) — closed-form masked
+    re-derivation of the stats.ess_basic loops:
+
+    With pair sums P_k = rho[2k] + rho[2k+1] (P_0 = 1 + rho[1]), the numpy
+    loop computes pair k (k >= 1) iff every earlier pair sum is positive and
+    the index bound 2k - 1 < n - 3 holds; it stores all computed pairs except
+    a final strictly-negative one, monotonizes the stored pair sums by a
+    running minimum (pairs 1..I-1 only, I = #computed), and adds the even
+    member of pair I back when it is positive or its pair was stored. tau is
+    then -1 + 2*(P_0 + sum of monotone pair sums) + final even member.
+    """
+    dtype = x.dtype
+    c, n = x.shape
+    ess_total = jnp.asarray(c * n, dtype)
+    if n < 4:
+        return ess_total
+
+    acov = _autocovariance_fft(x)
+    chain_var = acov[:, 0] * n / (n - 1)
+    mean_var = chain_var.mean()
+    var_plus = mean_var * (n - 1) / n
+    if c > 1:
+        var_plus = var_plus + x.mean(axis=1).var(ddof=1)
+    safe_vp = jnp.where(var_plus == 0, 1.0, var_plus)
+
+    mean_acov = acov.mean(axis=0)  # (n,)
+    rho = 1.0 - (mean_var - mean_acov) / safe_vp
+    rho = rho.at[0].set(1.0)
+
+    npairs = n // 2  # pairs (2k, 2k+1), k = 0..npairs-1 all in range
+    k = jnp.arange(npairs, dtype=jnp.int32)
+    pair_sums = rho[2 * k] + rho[jnp.minimum(2 * k + 1, n - 1)]
+    q0 = 1.0 + rho[1]
+
+    # pair k computed iff all earlier pair sums > 0 and 2k - 1 < n - 3
+    pos = pair_sums > 0
+    prev_all_pos = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.cumprod(pos.astype(jnp.int32)).astype(bool)[:-1]]
+    )
+    computed = prev_all_pos & (2 * k - 1 < n - 3) & (k >= 1)
+    n_computed = jnp.sum(computed.astype(jnp.int32))  # I
+
+    # stored interior pairs are k = 1..I-1 (all positive); monotone running
+    # minimum including P_0 at the head
+    interior = computed & (k < n_computed)  # k in 1..I-1 (k>=1 via computed)
+    seq = jnp.where(interior, pair_sums, jnp.inf)
+    seq = seq.at[0].set(q0)
+    mono = jax.lax.cummin(seq)
+    interior_sum = jnp.sum(jnp.where(interior, mono, 0.0))
+
+    # final even member rho[2I]: counted when its pair was stored (sum >= 0)
+    # or the value itself is positive (the numpy fixup); I = 0 -> rho_hat[0]=1
+    last_even = rho[jnp.minimum(2 * n_computed, n - 1)]
+    last_pair = pair_sums[jnp.minimum(n_computed, npairs - 1)]
+    final_term = jnp.where(
+        n_computed == 0,
+        1.0,
+        jnp.where((last_pair >= 0) | (last_even > 0), last_even, 0.0),
+    )
+
+    tau = (
+        -1.0
+        + 2.0 * (jnp.where(n_computed >= 1, q0, 0.0) + interior_sum)
+        + final_term
+    )
+    tau = jnp.maximum(tau, 1.0 / jnp.log10(ess_total))
+    ess = ess_total / tau
+    return jnp.where((var_plus == 0), ess_total, ess)
+
+
+def _param_stats(x):
+    """(C, N) series for ONE parameter -> (ess_bulk, ess_tail, rhat)."""
+    dtype = x.dtype
+    xs = _split_chains(x)
+    z = _rank_normalize(xs)
+    ess_b = _ess_basic(z)
+
+    qs = jnp.quantile(x, jnp.asarray([0.05, 0.95], dtype))
+    lo = _ess_basic(_rank_normalize(_split_chains((x <= qs[0]).astype(dtype))))
+    hi = _ess_basic(_rank_normalize(_split_chains((x <= qs[1]).astype(dtype))))
+    ess_t = jnp.minimum(lo, hi)
+
+    rhat_bulk = _rhat_basic(z)
+    folded = jnp.abs(xs - jnp.median(xs))
+    rhat_tail = _rhat_basic(_rank_normalize(folded))
+    return ess_b, ess_t, jnp.maximum(rhat_bulk, rhat_tail)
+
+
+@functools.partial(jax.jit, static_argnames=("batch",))
+def _ess_rhat_device(positions, batch: int = 1):
+    xk = jnp.moveaxis(positions, -1, 0)  # (K, C, N)
+    ess_b, ess_t, rh = jax.lax.map(_param_stats, xk, batch_size=batch)
+    return {"ess_bulk": ess_b, "ess_tail": ess_t, "rhat": rh}
+
+
+def ess_rhat_device(positions, batch: int = 1) -> dict:
+    """Per-parameter bulk/tail ESS and R-hat, computed ON DEVICE.
+
+    ``positions``: (chains, draws, params) array (device or host); returns a
+    dict of device arrays with keys ``ess_bulk``, ``ess_tail``, ``rhat`` —
+    same contract as :func:`stats.ess_rhat`, which remains the host oracle.
+    Parameters are processed ``batch`` at a time (``lax.map`` batch_size) to
+    bound the FFT/sort scratch memory at large chain counts.
+    """
+    positions = jnp.asarray(positions)
+    if positions.ndim == 2:
+        positions = positions[None]
+    return _ess_rhat_device(positions, batch=int(batch))
+
+
+def ess_bulk_device(x):
+    """Bulk ESS of one (C, N) series on device (stats.ess_bulk parity)."""
+    return _ess_basic(_rank_normalize(_split_chains(jnp.asarray(x))))

@@ -246,7 +246,7 @@ def warmup_stage(
             )
         p = rand_p(key, state.metric, dtype=state.Q.q.dtype)
         z = PhasePoint(Q=state.Q, p=p)
-        A, _ = local_log_acceptance_ratio(ld, state.metric, z)
+        A, l0 = local_log_acceptance_ratio(ld, state.metric, z)
         eps, success = find_initial_stepsize(stage, A, dtype=state.Q.q.dtype)
         if reporter is not None:
             jax.debug.callback(
@@ -256,7 +256,7 @@ def warmup_stage(
                 eps,
                 ordered=False,
             )
-        results = {"eps": eps, "success": success}
+        results = {"eps": eps, "success": success, "l0": l0}
         return results, WarmupState(Q=state.Q, metric=state.metric, eps=eps)
 
     assert isinstance(stage, TuningNUTS)

@@ -78,3 +78,18 @@ def test_default_interactive_reporter_uses_fast_engine(caplog, monkeypatch):
         )
     text = "\n".join(r.getMessage() for r in caplog.records)
     assert "warmup block" in text
+
+
+def test_chunk_boundary_rate_and_eta():
+    """The fast engine's dispatch-boundary progress lines carry steps/sec and
+    an ETA estimate (reporting.jl:118-136 parity at chunk granularity)."""
+    from dynamichmc_tpu.parallel import run_chains
+
+    messages = []
+    run_chains(
+        jax.random.PRNGKey(4), LD, 4, 8, dtype=jnp.float64,
+        warmup_stages=STAGES, log=messages.append,
+    )
+    text = "\n".join(messages)
+    assert "steps/s" in text and "s left" in text  # warmup chunks
+    assert "draws/s" in text  # sampling chunks

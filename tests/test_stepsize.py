@@ -101,3 +101,29 @@ def test_fixed_stepsize_identity():
     s = fs.update(s, 0.1)
     assert float(fs.current(s)) == pytest.approx(0.37)
     assert float(fs.final(s)) == pytest.approx(0.37)
+
+
+def test_nonfinite_start_guard():
+    """Reference guard parity (stepsize.jl:77-79): a non-finite joint density
+    at the search's starting point is named as such, with a chain/logdensity
+    payload, instead of surfacing as a generic bracketing failure."""
+    from dynamichmc_tpu.engine import make_search_driver_batched
+    from dynamichmc_tpu.errors import DynamicHMCError
+    from dynamichmc_tpu.hamiltonian import EvaluatedPoint
+    from dynamichmc_tpu.mcmc import _check_stepsize_search
+    from dynamichmc_tpu.metric import identity_metric
+    from dynamichmc_tpu.models import std_normal
+
+    ld = std_normal(3, dtype=jnp.float64)
+    q = jnp.zeros((4, 3), jnp.float64)
+    lds = jnp.zeros((4,), jnp.float64).at[2].set(-jnp.inf)
+    Q = EvaluatedPoint(q=q, logdensity=lds, grad=jnp.zeros_like(q))
+    metric = identity_metric(3, dtype=jnp.float64)
+    search = make_search_driver_batched(ld, InitialStepsizeSearch())
+    eps, success, l0 = jax.jit(search)(jax.random.PRNGKey(0), Q, metric)
+    assert not np.isfinite(np.asarray(l0)[2])
+    assert np.isfinite(np.asarray(l0)[[0, 1, 3]]).all()
+    results = {"eps": eps, "success": success, "l0": l0}
+    with pytest.raises(DynamicHMCError, match="non-finite density") as ei:
+        _check_stepsize_search([(None, results, None)])
+    assert ei.value.payload["chains"] == [2]
