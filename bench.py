@@ -109,6 +109,9 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     from dynamichmc_tpu.parallel import run_chains
 
     driver = "wavefront" if int(os.environ.get("BENCH_WAVEFRONT", "0")) else "sync"
+    # BENCH_SAMPLING_DRIVER: sync (lockstep chunks) | epoch (desynchronized
+    # epoch wavefront, tree_wavefront_epoch.py)
+    sampling_driver = os.environ.get("BENCH_SAMPLING_DRIVER", "sync")
     stratify = int(os.environ.get("BENCH_STRATIFY", "0"))
     # warmup depth clamp (default 2; round-3 sweep with the tail clamp at
     # IDENTICAL total ESS and zero divergences: clamp 3 = 1.89M, clamp 2 =
@@ -153,7 +156,8 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
         run_chains(
             jax.random.PRNGKey(9), ld, n_chains, n_samples,
             warmup_stages=_stages(metric_kind, warm=True), dtype=jnp.float32,
-            warmup_driver=driver, stratify_sampling=stratify,
+            warmup_driver=driver, sampling_driver=sampling_driver,
+            stratify_sampling=stratify,
             warmup_depth_clamp=clamp, warmup_depth_clamp_tail=clamp_tail,
             **algo_kw,
         ).positions.block_until_ready()
@@ -166,7 +170,8 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     res = run_chains(
         jax.random.PRNGKey(0), ld, n_chains, n_samples, dtype=jnp.float32,
         warmup_stages=_stages(metric_kind, warm=False), log=log,
-        warmup_driver=driver, stratify_sampling=stratify,
+        warmup_driver=driver, sampling_driver=sampling_driver,
+        stratify_sampling=stratify,
         warmup_depth_clamp=clamp, warmup_depth_clamp_tail=clamp_tail,
         **algo_kw,
     )

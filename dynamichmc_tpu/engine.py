@@ -364,6 +364,12 @@ class FastPrograms(NamedTuple):
     # width-C/G sampling program with its own chunk (depth stratification)
     sample_stratified: Optional[Callable] = None
     stratified_chunk: int = 0
+    # epoch-specialized wavefront SAMPLING (tree_wavefront_epoch.py):
+    # desynchronized per-draw recording; amortizes the per-transition fixed
+    # cost AND the lockstep straggler tax in one slot loop
+    sample_epoch: Optional[Callable] = None  # (key, metric, eps, carry, g_stop)
+    sample_epoch_init: Optional[Callable] = None  # (Q, metric) -> carry
+    sample_epoch_finish: Optional[Callable] = None  # carry -> (Q', qs, lds, stats)
 
 
 def build_programs(
@@ -1065,6 +1071,81 @@ def execute(
                 )
         Q = _regroup_q(tuple(Q_parts), inv_perm)
         pieces_perm = None if draw_sink is not None else inv_perm
+    elif programs.sample_epoch is not None and n_batch_dims == 1:
+        # Epoch-wavefront sampling (tree_wavefront_epoch.py): desynchronized
+        # per-draw recording in ONE resumable slot loop — watchdog-safe
+        # dispatches budgeted in global slots, bitwise reproducible across
+        # chunk boundaries (slot keys fold the global counter).
+        import numpy as _np
+
+        carry = programs.sample_epoch_init(Q, metric)
+        cost_key_ep = (n_samples, Q.q.shape, jnp.dtype(Q.q.dtype).name)
+        per_slot = _PER_STEP_SEEN.get(programs.sample_epoch, {}).get(
+            cost_key_ep, 0.0
+        )
+        if per_slot <= 0.0:
+            # absorb the (possibly minutes-long) compile outside the budget;
+            # the zero-budget dispatch runs no epochs but DONATES the carry,
+            # so thread its output forward
+            carry, _d = programs.sample_epoch(
+                sample_key, metric, eps, carry, jnp.int32(0)
+            )
+            jax.block_until_ready(_d)
+            ep_budget = 4096
+        else:
+            ep_budget = int(max(512, 0.5 * target_seconds / per_slot))
+        t_sample = _time.perf_counter()
+        g_prev = 0
+        while True:
+            t0 = _time.perf_counter()
+
+            def run_epoch(carry_in=carry, g_stop=g_prev + ep_budget):
+                nonlocal t0
+                t0 = _time.perf_counter()
+                out = programs.sample_epoch(
+                    sample_key, metric, eps, carry_in, jnp.int32(g_stop)
+                )
+                jax.block_until_ready(out[1])
+                return out
+
+            def halve_epoch(_attempt):
+                nonlocal ep_budget
+                ep_budget = max(256, ep_budget // 2)
+
+            carry, done = _retry_dispatch(
+                run_epoch, log=log, what="epoch sampling dispatch",
+                on_retry=halve_epoch,
+            )
+            wall = _time.perf_counter() - t0
+            g_now = int(_np.asarray(carry["g"]).reshape(-1).max())
+            iters = max(g_now - g_prev, 1)
+            g_prev = g_now
+            per_slot = max(per_slot, wall / iters)
+            ep_budget = int(
+                max(256, min(4 * iters, target_seconds / max(per_slot, 1e-7)))
+            )
+            if log is not None:
+                flushed = int(_np.asarray(carry["flushed"]).reshape(-1).min())
+                elapsed = _time.perf_counter() - t_sample
+                rate = flushed / max(elapsed, 1e-9)
+                eta = (n_samples - flushed) / max(rate, 1e-9)
+                log(
+                    f"sampling[epoch]: {flushed}/{n_samples} draws flushed "
+                    f"({elapsed:.1f}s, {g_now} slots, {rate:.1f} draws/s, "
+                    f"~{eta:.1f}s left, next budget {ep_budget})"
+                )
+            if bool(_np.asarray(done).all()):
+                break
+        _PER_STEP_SEEN.setdefault(programs.sample_epoch, {})[cost_key_ep] = (
+            per_slot
+        )
+        Q, qs, lds, stats = programs.sample_epoch_finish(carry)
+        if draw_sink is not None:
+            draw_sink(0, qs, lds, stats)
+            pieces = [((None, None, stats),)]
+        else:
+            pieces = [((qs, lds, stats),)]
+        pieces_perm = None
     else:
         metric_ret, eps_ret = metric, eps
         perm_only_inv = None
@@ -1564,6 +1645,8 @@ def build_programs_batched(
     monolithic: bool = False,
     stratify: int = 0,
     stratify_chunk: int = 0,
+    epoch_samples: int = 0,
+    epoch_ring: int = 8,
 ):
     """Batch-native program bundle. ``wrap(fn, kind)`` applies shard_map/jit
     (no vmap needed). Pooled vs per-chain metrics are carried by array rank;
@@ -1571,7 +1654,10 @@ def build_programs_batched(
     ``wavefront=True`` additionally builds the aligned wavefront warmup
     programs (tree_wavefront.py; under a mesh each device runs its own
     wavefront over its local lanes); ``monolithic=True`` builds the
-    whole-warmup single program that execute() prefers."""
+    whole-warmup single program that execute() prefers. ``epoch_samples>0``
+    builds the epoch-wavefront sampling programs (tree_wavefront_epoch.py,
+    draw count baked in) that execute() prefers over the chunked
+    synchronized sampler."""
     search = None
     if schedule.search is not None:
         search = wrap(make_search_driver_batched(ld, schedule.search), "search")
@@ -1658,6 +1744,31 @@ def build_programs_batched(
                 updater = make_metric_update(schedule.metric_kind, lam, None)
                 metric_updates[lam] = wrap(jax.vmap(updater), "metric")
     sample = wrap(make_sampling_driver_batched(ld, algorithm, sample_chunk), "sample")
+    sample_epoch = epoch_init = epoch_finish = None
+    if epoch_samples > 0:
+        from .tree_wavefront_epoch import (
+            epoch_sampling_finish,
+            epoch_sampling_init,
+            make_epoch_sampling_driver,
+        )
+
+        sample_epoch = wrap(
+            make_epoch_sampling_driver(
+                ld, algorithm, epoch_samples, ring=epoch_ring
+            ),
+            "sample_epoch",
+        )
+
+        def einit_fn(Q, metric):
+            return epoch_sampling_init(
+                Q, metric, epoch_samples, algorithm.max_depth, ring=epoch_ring
+            )
+
+        epoch_init = wrap(einit_fn, "sample_epoch_init")
+        epoch_finish = wrap(
+            lambda carry: epoch_sampling_finish(carry, epoch_samples),
+            "sample_epoch_finish",
+        )
     return FastPrograms(
         search=search,
         stage=stage,
@@ -1689,4 +1800,7 @@ def build_programs_batched(
             if stratify and stratify > 1
             else 0
         ),
+        sample_epoch=sample_epoch,
+        sample_epoch_init=epoch_init,
+        sample_epoch_finish=epoch_finish,
     )

@@ -130,10 +130,12 @@ def run_chains(
     draw_sink=None,
     reporter=None,
     warmup_driver: str = "sync",
+    sampling_driver: str = "sync",
     stratify_sampling: int = 0,
     warmup_depth_clamp: Optional[int] = None,
     warmup_depth_clamp_tail: int = 0,
     sample_chunk: Optional[int] = None,
+    epoch_ring: int = 8,
 ) -> MCMCResult:
     """Run ``n_chains`` independently-warmed NUTS chains, batched on device.
 
@@ -154,12 +156,23 @@ def run_chains(
 
     ``warmup_driver``: 'sync' (lockstep batch-native transitions) or
     'wavefront' (desynchronized aligned-wavefront warmup, tree_wavefront.py —
-    removes the straggler tax when tree depths vary across chains; sampling
-    always uses the synchronized driver). Under a ``mesh`` each device runs
-    its own wavefront over its local lanes (per-device slot counters, zero
-    cross-device sync inside the loop); per-chain stepsize adaptation only
-    (shared/pooled eps would need collectives inside device-divergent
-    loops).
+    removes the straggler tax when tree depths vary across chains). Under a
+    ``mesh`` each device runs its own wavefront over its local lanes
+    (per-device slot counters, zero cross-device sync inside the loop);
+    per-chain stepsize adaptation only (shared/pooled eps would need
+    collectives inside device-divergent loops).
+
+    ``sampling_driver``: 'sync' (lockstep batch-native transitions, chunked
+    dispatches) or 'epoch' (epoch-specialized wavefront,
+    tree_wavefront_epoch.py — desynchronized transition lifecycles with
+    per-draw ring recording; amortizes the per-transition fixed cost AND
+    the max-over-lanes straggler tax; measured 1.3x at the headline config
+    with per-chain adapted eps at reference-default max_depth). Identical
+    per-transition semantics, slot-indexed RNG stream (the same documented
+    batch-shape caveat all batch-native drivers carry). Mesh-less only for
+    now. ``epoch_ring``: draw-ring rows = how many draws any lane may run
+    ahead of the slowest (scheduling only; draws are byte-identical for any
+    ring >= 2).
 
     ``stratify_sampling=G`` (G > 1, per-chain stepsizes): sort lanes by
     adapted eps after warmup so each group's lockstep tree loop is bounded
@@ -189,6 +202,26 @@ def run_chains(
             )
     if warmup_driver not in ("sync", "wavefront"):
         raise ValueError("warmup_driver must be 'sync' or 'wavefront'")
+    if sampling_driver not in ("sync", "epoch"):
+        raise ValueError("sampling_driver must be 'sync' or 'epoch'")
+    if sampling_driver == "epoch":
+        if mesh is not None:
+            raise NotImplementedError(
+                "epoch sampling under a mesh is not wired yet (the carry "
+                "needs per-device slot/flush counters; use "
+                "sampling_driver='sync', whose shard_map path already "
+                "bounds each device's lockstep loop by its local lanes)"
+            )
+        if stratify_sampling:
+            raise ValueError(
+                "stratify_sampling is a scheduler for the synchronized "
+                "sampler; the epoch driver already desynchronizes lanes"
+            )
+        if algorithm.turn_statistic_configuration != "generalized":
+            raise NotImplementedError(
+                "epoch sampling requires the batch-native drivers "
+                "(generalized turn statistic)"
+            )
     schedule = WarmupSchedule.from_stages(tuple(warmup_stages))
     init_key, run_key = jax.random.split(jnp.asarray(key))
     states = init_chain_states(
@@ -220,6 +253,11 @@ def run_chains(
             "warmup_depth_clamp requires a fast-engine-expressible warmup "
             "schedule (homogeneous TuningNUTS blocks; see "
             "WarmupSchedule.from_stages)"
+        )
+    if sampling_driver == "epoch" and schedule is None:
+        raise NotImplementedError(
+            "epoch sampling requires a fast-engine-expressible warmup "
+            "schedule (homogeneous TuningNUTS blocks)"
         )
     if schedule is None and (draw_sink is not None or stratify_sampling):
         # same never-silently-drop rule: the scan fallback keeps all draws
@@ -282,6 +320,8 @@ def run_chains(
             wavefront=warmup_driver == "wavefront",
             stratify_sampling=stratify_sampling,
             sample_chunk=sample_chunk,
+            epoch_sampling=sampling_driver == "epoch",
+            epoch_ring=epoch_ring,
         )
 
     lean = dict(
@@ -424,6 +464,8 @@ def _run_chains_fast(
     wavefront: bool = False,
     stratify_sampling: int = 0,
     sample_chunk: Optional[int] = None,
+    epoch_sampling: bool = False,
+    epoch_ring: int = 8,
 ) -> MCMCResult:
     from ..stepsize import PooledStepsize
 
@@ -486,6 +528,8 @@ def _run_chains_fast(
             # cap the per-group chunk at the actual draw count (a baked
             # G-scaled chunk over-executes when sample_chunk*G > n_samples)
             stratify_chunk=min(sample_chunk * G, n_samples) if G > 1 else 0,
+            epoch_samples=n_samples if epoch_sampling else 0,
+            epoch_ring=epoch_ring,
         )
     else:
         programs = _fast_programs(ld, algorithm, schedule, mesh)
@@ -560,6 +604,8 @@ def _fast_programs_batched(
     monolithic: bool = False,
     stratify: int = 0,
     stratify_chunk: int = 0,
+    epoch_samples: int = 0,
+    epoch_ring: int = 8,
 ):
     """Cache-normalizing wrapper: kwargs/defaults collapse to one canonical
     positional key (lru_cache keys f(a) and f(a, b=default) differently —
@@ -567,6 +613,7 @@ def _fast_programs_batched(
     return _fast_programs_batched_cached(
         ld, algorithm, schedule, mesh, int(sample_chunk), bool(wavefront),
         bool(monolithic), int(stratify), int(stratify_chunk),
+        int(epoch_samples), int(epoch_ring),
     )
 
 
@@ -581,6 +628,8 @@ def _fast_programs_batched_cached(
     monolithic: bool,
     stratify: int,
     stratify_chunk: int,
+    epoch_samples: int = 0,
+    epoch_ring: int = 8,
 ):
     """Batch-native program bundle (tree_batched.py): no vmap; shard_map
     wraps the batched functions directly. One scalar key drives each program;
@@ -646,6 +695,11 @@ def _fast_programs_batched_cached(
 
     def wrap(fn, kind):
         if mesh is None:
+            # NOTE sample_epoch's carry (with its (T, C, K) output buffers)
+            # is deliberately NOT donated: a watchdog-killed dispatch would
+            # invalidate the donated progress carry and break the retry
+            # path. Peak cost is one transient extra carry copy per
+            # dispatch (~1 GB at the headline config).
             return jax.jit(fn)
         if kind == "metric_shared":
             # consumes the (n_devices, ...) per-device pooled Welford states
@@ -773,6 +827,8 @@ def _fast_programs_batched_cached(
         monolithic=monolithic,
         stratify=stratify,
         stratify_chunk=stratify_chunk,
+        epoch_samples=epoch_samples,
+        epoch_ring=epoch_ring,
     )
     # host-side adaptation calls must use the unbound instance
     return programs._replace(adaptation=host_adaptation)

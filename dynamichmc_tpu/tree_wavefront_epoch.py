@@ -87,6 +87,12 @@ _TO_TABLE = (0, 1, 0, 2, 0, 1, 0, None)
 _RESTART_SLOTS = (0, 4)
 _DEBUG = False  # per-sub-slot jax.debug.print of lane 0 (development only)
 
+# Profiling-only ablation switches (scripts/profile_epoch_slot.py): members of
+# {"record", "restart_draw", "merge", "process", "best"} disable pieces of the
+# slot body AT TRACE TIME to attribute per-slot cost. Never set in production
+# paths; results are statistically wrong with any ablation active.
+_ablate: frozenset = frozenset()
+
 
 class EpochNoise(NamedTuple):
     """Injectable randomness for the exact-equivalence gate (tests only;
@@ -273,33 +279,41 @@ def make_epoch_sampling_driver(
             """Sub-slot prologue at r in {0, 4}: record parked draws into the
             ring, flush complete ring rows to the output, then restart every
             lane whose ring row is free."""
-            # --- record: lanes holding an unrecorded completed draw ---------
-            can_rec = c["t"] > c["rec"]
-            row_of = c["rec"] % ring  # (C,) the draw's ring row
-            rows = jnp.arange(ring, dtype=jnp.int32)[:, None]  # (ring, 1)
-            m = can_rec[None, :] & (row_of[None, :] == rows)  # (ring, C)
-            ring_q = jnp.where(m[..., None], c["Q"].q[None], c["ring_q"])
-            ring_ld = jnp.where(m, c["Q"].logdensity[None], c["ring_ld"])
-            rec = jnp.where(can_rec, c["rec"] + 1, c["rec"])
+            if "record" in _ablate:
+                rec, flushed = c["t"], jnp.min(c["t"])
+                outs = {}
+                ring_q, ring_ld = c["ring_q"], c["ring_ld"]
+            else:
+                # --- record: lanes holding an unrecorded completed draw -----
+                can_rec = c["t"] > c["rec"]
+                row_of = c["rec"] % ring  # (C,) the draw's ring row
+                rows = jnp.arange(ring, dtype=jnp.int32)[:, None]  # (ring, 1)
+                m = can_rec[None, :] & (row_of[None, :] == rows)  # (ring, C)
+                ring_q = jnp.where(m[..., None], c["Q"].q[None], c["ring_q"])
+                ring_ld = jnp.where(m, c["Q"].logdensity[None], c["ring_ld"])
+                rec = jnp.where(can_rec, c["rec"] + 1, c["rec"])
 
-            # --- flush: up to 2 rows whose draw every lane has passed -------
-            min_rec = jnp.min(rec)
-            flushed = c["flushed"]
-            outs = {
-                "out_q": c["out_q"], "out_ld": c["out_ld"],
-                "out_pi": c["out_pi"], "out_acc": c["out_acc"],
-                "out_depth": c["out_depth"], "out_steps": c["out_steps"],
-                "out_tl": c["out_tl"], "out_tr": c["out_tr"],
-                "out_work": c["out_work"], "out_dirs": c["out_dirs"],
-            }
-            rings = {
-                "out_q": ring_q, "out_ld": ring_ld,
-                "out_pi": c["ring_pi"], "out_acc": c["ring_acc"],
-                "out_depth": c["ring_depth"], "out_steps": c["ring_steps"],
-                "out_tl": c["ring_tl"], "out_tr": c["ring_tr"],
-                "out_work": c["ring_work"], "out_dirs": c["ring_dirs"],
-            }
-            for _attempt in range(2):
+                # --- flush: up to 2 rows whose draw every lane has passed ---
+                min_rec = jnp.min(rec)
+                flushed = c["flushed"]
+                outs = {
+                    "out_q": c["out_q"], "out_ld": c["out_ld"],
+                    "out_pi": c["out_pi"], "out_acc": c["out_acc"],
+                    "out_depth": c["out_depth"], "out_steps": c["out_steps"],
+                    "out_tl": c["out_tl"], "out_tr": c["out_tr"],
+                    "out_work": c["out_work"], "out_dirs": c["out_dirs"],
+                }
+                rings = {
+                    "out_q": ring_q, "out_ld": ring_ld,
+                    "out_pi": c["ring_pi"], "out_acc": c["ring_acc"],
+                    "out_depth": c["ring_depth"], "out_steps": c["ring_steps"],
+                    "out_tl": c["ring_tl"], "out_tr": c["ring_tr"],
+                    "out_work": c["ring_work"], "out_dirs": c["ring_dirs"],
+                }
+                # ONE flush per record slot keeps pace: a lane records at
+                # most one draw per record slot, so min_rec - flushed never
+                # grows (the trailing drain runs record slots with no
+                # building lanes until the ring empties)
                 do = flushed < min_rec  # scalar
                 # no-op flushes land on the sacrificial row T
                 idx = jnp.where(do, flushed, jnp.int32(T))
@@ -317,7 +331,10 @@ def make_epoch_sampling_driver(
             restart = c["need_restart"] & (c["t"] < T) & (
                 c["t"] - flushed < ring
             )
-            if noise is None:
+            if "restart_draw" in _ablate:
+                p0 = c["z"].p  # recycle a stale momentum: skips the draw
+                dirs_new = c["dirs"]
+            elif noise is None:
                 p0 = rand_p_b(k_norm, metric, (C, K), dtype)
                 dirs_new = jax.random.bits(k_dir, (C,), jnp.uint32)
             else:
@@ -421,6 +438,21 @@ def make_epoch_sampling_driver(
             lsum_adj = jnp.logaddexp(c["lsum_adj"], v_log)
             steps_adj = c["steps_adj"] + building.astype(jnp.int32)
 
+            if "best" in _ablate:
+                out = dict(c)
+                out.update(
+                    {
+                        "z": _where_edge(building, z_new, c["z"]),
+                        "i_cur": jnp.where(building, i_new, c["i_cur"]),
+                        "lsum_adj": lsum_adj,
+                        "steps_adj": steps_adj,
+                    }
+                )
+                sp_leaf = z_new.p if sp is None else sp
+                return out, {
+                    "z_new": z_new, "sp": sp_leaf, "n": n, "i_new": i_new,
+                    "step": step, "divergent": divergent,
+                }
             if noise is None:
                 gum = jax.random.gumbel(k_gum, (C,), dtype)
             else:
@@ -529,6 +561,12 @@ def make_epoch_sampling_driver(
             turned = jnp.zeros((C,), bool)
             turn_left = jnp.zeros((C,), jnp.int32)
             building = c["building"]
+            if "merge" in _ablate:
+                to_g = (
+                    _trailing_ones_scalar(g) if to_static is None
+                    else jnp.int32(to_static)
+                )
+                return c, node, turned, turn_left, jnp.minimum(to_g, c["d"])
             if to_static is not None:
                 for level in range(to_static):
                     node, turned, turn_left = _merge_level(
@@ -546,15 +584,21 @@ def make_epoch_sampling_driver(
                     )
                 k_l = jnp.minimum(to_g, c["d"])
 
-                # levels >= 3: dynamic continuation over the deep stack,
-                # entered once per 8 slots, iterating only while TO(g)
-                # reaches that level (v1 mbody semantics with participation
-                # masks; do_push parks a lane's node at its k_l)
+                # Levels >= 3: dynamic MERGE-ONLY continuation. Pushes never
+                # happen inside it — at any slot the push level is the
+                # SCALAR to_g (k_l == level < d forces to_g == level), so
+                # the deep stack is read-only here (captured as a loop
+                # constant, NOT carried: carrying the (S-3, C, K) x tau_len
+                # stack made the loop entry the dominant slot cost) and ONE
+                # masked dynamic update at row to_g-3 after the loop parks
+                # every still-building lane's node.
+                deep = c["deep"]
+
                 def mcond(m):
-                    return m[1] <= jnp.minimum(to_g, jnp.int32(S - 1))
+                    return m[1] < jnp.minimum(k_l_max, jnp.int32(S))
 
                 def mbody(m):
-                    node, level, turned, tl, deep = m
+                    node, level, turned, tl = m
                     rows = tuple(
                         jax.lax.dynamic_index_in_dim(
                             s, level - 3, 0, keepdims=False
@@ -578,22 +622,33 @@ def make_epoch_sampling_driver(
                         )
                         for nd, mg in zip(node, merged)
                     )
-                    do_push = building & (k_l == level) & (level < c["d"])
-                    deep = tuple(
-                        jax.lax.dynamic_update_index_in_dim(
-                            s, jnp.where(do_push[:, None], nd, row),
-                            level - 3, 0,
-                        )
-                        for s, nd, row in zip(deep, node, rows)
-                    )
-                    return (node, level + 1, turned, tl, deep)
+                    return (node, level + 1, turned, tl)
 
-                node, _lvl, turned, turn_left, deep = jax.lax.while_loop(
-                    mcond, mbody,
-                    (node, jnp.int32(3), turned, turn_left, c["deep"]),
+                # merge levels run to max over lanes of k_l (cheap (C,)
+                # reduction; 0 iterations when no lane is deeper than the
+                # statically-unrolled levels)
+                k_l_max = jnp.max(jnp.where(building, k_l, 0))
+                node, _lvl, turned, turn_left = jax.lax.while_loop(
+                    mcond, mbody, (node, jnp.int32(3), turned, turn_left)
                 )
+                do_push = building & (c["d"] > to_g)
+                row_idx = jnp.clip(to_g - 3, 0, max(S - 4, 0))
                 c = dict(c)
-                c["deep"] = deep
+                c["deep"] = tuple(
+                    jax.lax.dynamic_update_index_in_dim(
+                        s,
+                        jnp.where(
+                            do_push[:, None],
+                            nd,
+                            jax.lax.dynamic_index_in_dim(
+                                s, row_idx, 0, keepdims=False
+                            ),
+                        ),
+                        row_idx,
+                        0,
+                    )
+                    for s, nd in zip(c["deep"], node)
+                )
                 # pushes at levels < 3 for lanes with k_l < 3 < to_g:
                 # k_l == level < d requires to_g == level (impossible,
                 # to_g >= 3) or d == level then level < d fails — none.

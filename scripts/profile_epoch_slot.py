@@ -58,31 +58,41 @@ def main():
         eps = jnp.full((C,), 0.7, jnp.float32)
 
     # --- epoch wavefront driver ------------------------------------------------
-    stage = make_epoch_sampling_driver(ld, algo, T, ring=ring)
-    stage_j = jax.jit(stage)
-    finish_j = jax.jit(lambda c: epoch_sampling_finish(c, T))
-    carry0 = epoch_sampling_init(Q0, metric, T, md, ring=ring)
-    big = jnp.int32(10**9)
+    import dynamichmc_tpu.tree_wavefront_epoch as twe
 
-    out, done = stage_j(key, metric, eps, carry0, big)
-    jax.block_until_ready(done)
-    t0 = time.perf_counter()
-    out, done = stage_j(key, metric, eps, carry0, big)
-    jax.block_until_ready(done)
-    wall = time.perf_counter() - t0
-    Qf, qs, lds, stats = finish_j(out)
-    jax.block_until_ready(qs)
-    g_total = int(out["g"])
-    steps = np.asarray(stats.steps, np.int64)
-    leaves = int(steps.sum())
-    util = leaves / (g_total * C)
-    print(
-        f"epoch wavefront: {T} draws in {wall:.3f}s = "
-        f"{T / wall:.1f} draws/s | {wall / g_total * 1e6:.1f} us/slot, "
-        f"utilization {util:.1%} ({g_total} slots, "
-        f"{leaves / (T * C):.1f} leaves/draw, depth mean "
-        f"{np.asarray(stats.depth).mean():.2f})"
-    )
+    ablate_sets = [frozenset()]
+    for tok in os.environ.get("PROF_ABLATE", "").split(";"):
+        if tok:
+            ablate_sets.append(frozenset(tok.split(",")))
+    big = jnp.int32(10**9)
+    for ab in ablate_sets:
+        twe._ablate = ab
+        stage = make_epoch_sampling_driver(ld, algo, T, ring=ring)
+        stage_j = jax.jit(stage)
+        finish_j = jax.jit(lambda c: epoch_sampling_finish(c, T))
+        carry0 = epoch_sampling_init(Q0, metric, T, md, ring=ring)
+
+        out, done = stage_j(key, metric, eps, carry0, big)
+        jax.block_until_ready(done)
+        t0 = time.perf_counter()
+        out, done = stage_j(key, metric, eps, carry0, big)
+        jax.block_until_ready(done)
+        wall = time.perf_counter() - t0
+        Qf, qs, lds, stats = finish_j(out)
+        jax.block_until_ready(qs)
+        g_total = int(out["g"])
+        steps = np.asarray(stats.steps, np.int64)
+        leaves = int(steps.sum())
+        util = leaves / (g_total * C)
+        tag = "+".join(sorted(ab)) or "full"
+        print(
+            f"epoch[{tag}]: {T} draws in {wall:.3f}s = "
+            f"{T / wall:.1f} draws/s | {wall / g_total * 1e6:.1f} us/slot, "
+            f"utilization {util:.1%} ({g_total} slots, "
+            f"{leaves / (T * C):.1f} leaves/draw, depth mean "
+            f"{np.asarray(stats.depth).mean():.2f})"
+        )
+    twe._ablate = frozenset()
 
     # --- synchronized driver ---------------------------------------------------
     def step(carry, j):
