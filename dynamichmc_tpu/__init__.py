@@ -51,6 +51,7 @@ from .reporting import (
     TqdmProgressReport,
     default_reporter,
 )
+from .engine import WarmupCheckpoint
 from .stats import ess_rhat
 from .stats_device import ess_rhat_device
 from .mcmc import (
@@ -88,6 +89,7 @@ __all__ = [
     "PooledStepsize",
     "InitialStepsizeSearch",
     "TuningNUTS",
+    "WarmupCheckpoint",
     "WarmupState",
     "default_warmup_stages",
     "fixed_stepsize_warmup_stages",

@@ -21,7 +21,7 @@ import dataclasses
 import functools
 import time as _time
 import weakref
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -553,6 +553,31 @@ def metric_is_batched(metric: Metric) -> bool:
     return m.ndim == (2 if isinstance(metric, DiagonalMetric) else 3)
 
 
+class WarmupCheckpoint(NamedTuple):
+    """Mid-warmup engine state at a dispatch boundary (monolithic fast path).
+
+    Every step key folds the ABSOLUTE step index (the warmup key itself is
+    ``key_fold(1)``, independent of progress), so re-dispatching from
+    ``step`` reproduces the uninterrupted run bitwise — the same invariant
+    that makes retry-after-watchdog-kill and chunk-size changes draw-exact.
+    A checkpoint is valid only for the same (model, schedule, chain count,
+    key) it was taken from; ``execute`` re-validates the shapes it can see.
+    Round-trips through :func:`dynamichmc_tpu.checkpoint.save_state`
+    (architectural hook per SURVEY §5; cf. /root/reference/src/mcmc.jl:72-79
+    — the reference's warmup is a pure state fold, which is what makes this
+    resumable-by-construction).
+    """
+
+    step: Any  # next absolute warmup step index (scalar)
+    Q: Any
+    metric: Any
+    da: Any
+    wf: Any
+    eps_run: Any
+    totals: Any  # running on-device stage totals (acc_sum/div/steps/maxd[/work])
+    search: Any  # {"eps","success","l0"} from the initial search, or None
+
+
 def execute(
     programs: FastPrograms,
     schedule: WarmupSchedule,
@@ -567,6 +592,8 @@ def execute(
     draw_sink=None,
     stratify_sampling: int = 0,
     stratify_permute_only: bool = False,
+    warmup_sink=None,
+    warmup_resume: Optional[WarmupCheckpoint] = None,
 ):
     """Run the schedule eagerly, chunking long stages into watchdog-safe
     dispatches with adaptive chunk sizing (the TPU runtime kills single
@@ -578,15 +605,38 @@ def execute(
     section. Ignored when group-serial ``stratify_sampling`` is active or
     eps is shared.
 
+    ``warmup_sink``: called with a :class:`WarmupCheckpoint` at every warmup
+    dispatch boundary (monolithic fast path only) — persist it with
+    ``checkpoint.save_state`` to survive preemption. ``warmup_resume``:
+    a checkpoint to continue from; the search is skipped (its results are
+    restored from the checkpoint) and the resumed run's draws are bitwise
+    identical to an uninterrupted one.
+
     ``key_fold(i)`` returns the (possibly batched) key for step-group ``i``.
     Returns (metric, eps, search_results, summaries, inference_tuple).
     """
     adaptation = programs.adaptation
     from .errors import DynamicHMCError
 
+    if (warmup_sink is not None or warmup_resume is not None) and (
+        programs.warmup_mono is None
+    ):
+        raise DynamicHMCError(
+            "warmup checkpoint/resume requires the monolithic fast warmup "
+            "program (batch-native path with a fast-engine-expressible "
+            "schedule)"
+        )
     t_start = _time.perf_counter()
     search_results = None
-    if schedule.search is not None:
+    if warmup_resume is not None:
+        if warmup_resume.Q.q.shape != Q.q.shape:
+            raise DynamicHMCError(
+                f"warmup_resume chain state shape {warmup_resume.Q.q.shape} "
+                f"does not match this run's {Q.q.shape}"
+            )
+        search_results = warmup_resume.search
+        eps = warmup_resume.search["eps"] if warmup_resume.search else eps
+    elif schedule.search is not None:
         if eps is not None:
             raise DynamicHMCError(
                 "stepsize eps manually specified, won't perform initial search"
@@ -685,10 +735,25 @@ def execute(
         # whole-warmup single program: block boundaries handled on device
         total = sum(schedule.block_sizes)
         warm_key = key_fold(1)
-        da = da0
-        wf = wf0
-        eps_run = strong(adaptation.current(da0))
-        totals = []
+        if warmup_resume is not None:
+            start_resume = int(warmup_resume.step)
+            if not 0 <= start_resume <= total:
+                raise DynamicHMCError(
+                    f"warmup_resume.step={start_resume} outside this "
+                    f"schedule's [0, {total}] step range"
+                )
+            Q = strong(warmup_resume.Q)
+            metric = strong(warmup_resume.metric)
+            da = strong(warmup_resume.da)
+            wf = strong(warmup_resume.wf)
+            eps_run = strong(warmup_resume.eps_run)
+            totals = [warmup_resume.totals] if warmup_resume.totals else []
+        else:
+            start_resume = 0
+            da = da0
+            wf = wf0
+            eps_run = strong(adaptation.current(da0))
+            totals = []
         # A prior execute() of the SAME compiled program (e.g. the untimed
         # warm run) already measured the max per-step cost: start with a
         # watchdog-safe full-size chunk instead of probing 4/16/64/...
@@ -701,7 +766,7 @@ def execute(
         if per_step_max > 0.0:
             chunk = int(max(4, min(total, 0.5 * target_seconds / per_step_max)))
         per_step_big = 0.0  # amortized estimate (>=64-step dispatches only)
-        start = 0
+        start = start_resume
         while start < total:
             # a retry halves the chunk and redispatches the SAME step range
             # (step keys fold the global index — bitwise identical results);
@@ -736,6 +801,15 @@ def execute(
             wall = _time.perf_counter() - t0
             totals.append(t)
             start += step_count
+            if warmup_sink is not None:
+                # keep the running totals as ONE on-device tree so each
+                # checkpoint is O(state), not O(dispatches)
+                totals = [_tree_sum(tuple(totals))] if len(totals) > 1 else totals
+                warmup_sink(WarmupCheckpoint(
+                    step=start, Q=Q, metric=metric, da=da, wf=wf,
+                    eps_run=eps_run, totals=totals[0],
+                    search=search_results,
+                ))
             # conservative sizing: early transitions are the SHALLOWEST
             # (trees deepen as eps adapts), so extrapolating the next chunk
             # from the latest per-step cost alone can overshoot the ~60 s
@@ -1117,7 +1191,15 @@ def execute(
                 on_retry=halve_epoch,
             )
             wall = _time.perf_counter() - t0
-            g_now = int(_np.asarray(carry["g"]).reshape(-1).max())
+            # under a mesh "g" is a (n_devices,) per-device counter. Budget
+            # off the FASTEST device: a min-based g_stop would livelock once
+            # a finished device's counter freezes below a laggard's (the
+            # laggard then never receives headroom), while max-based merely
+            # lets a laggard run (spread + budget) slots in one dispatch —
+            # bounded in practice (devices hold iid lanes) and self-healing
+            # via the watchdog retry path (halve_epoch).
+            g_v = _np.asarray(carry["g"]).reshape(-1)
+            g_now = int(g_v.max())
             iters = max(g_now - g_prev, 1)
             g_prev = g_now
             per_slot = max(per_slot, wall / iters)
@@ -1647,6 +1729,7 @@ def build_programs_batched(
     stratify_chunk: int = 0,
     epoch_samples: int = 0,
     epoch_ring: int = 8,
+    wavefront_mesh_axis=None,
 ):
     """Batch-native program bundle. ``wrap(fn, kind)`` applies shard_map/jit
     (no vmap needed). Pooled vs per-chain metrics are carried by array rank;
@@ -1692,10 +1775,15 @@ def build_programs_batched(
 
         pooled_eps = isinstance(schedule.adaptation, PooledStepsize)
 
+        # the epochal pooled-eps collective pools over the MESH axis whenever
+        # one exists — independent of whether the METRIC is pooled (which is
+        # what `mesh_axis` tracks)
+        wf_eps_axis = wavefront_mesh_axis if pooled_eps else None
         stage_wavefront = wrap(
             make_wavefront_stage_driver(
                 ld, algorithm, schedule.adaptation,
                 pooled_welford=schedule.pooled, pooled_eps=pooled_eps,
+                mesh_axis=wf_eps_axis,
             ),
             "wavefront",
         )
@@ -1705,6 +1793,7 @@ def build_programs_batched(
                     ld, algorithm, schedule.adaptation,
                     pooled_welford=schedule.pooled, use_welford=False,
                     pooled_eps=pooled_eps,
+                    mesh_axis=wf_eps_axis,
                 ),
                 "wavefront",
             )

@@ -136,8 +136,17 @@ def run_chains(
     warmup_depth_clamp_tail: int = 0,
     sample_chunk: Optional[int] = None,
     epoch_ring: int = 8,
+    warmup_checkpoint_sink=None,
+    warmup_resume=None,
 ) -> MCMCResult:
     """Run ``n_chains`` independently-warmed NUTS chains, batched on device.
+
+    ``warmup_checkpoint_sink``: called with an
+    :class:`~dynamichmc_tpu.engine.WarmupCheckpoint` at every warmup dispatch
+    boundary (persist with ``checkpoint.save_state``); ``warmup_resume``
+    continues a run from such a checkpoint — same (model, stages, key,
+    n_chains) — with draws bitwise identical to the uninterrupted run.
+    Monolithic fast warmup (sync driver, batch-native) only.
 
     ``sample_chunk``: draws per sampling dispatch (default: memory-bound,
     <= 512). The chunk length is BAKED into the compiled sampling program,
@@ -158,9 +167,10 @@ def run_chains(
     'wavefront' (desynchronized aligned-wavefront warmup, tree_wavefront.py —
     removes the straggler tax when tree depths vary across chains). Under a
     ``mesh`` each device runs its own wavefront over its local lanes
-    (per-device slot counters, zero cross-device sync inside the loop);
-    per-chain stepsize adaptation only (shared/pooled eps would need
-    collectives inside device-divergent loops).
+    (per-device slot counters, zero cross-device sync inside the loop with
+    per-chain stepsizes; pooled stepsize runs epoch-lockstep — devices
+    synchronize at aligned global-counter boundaries where one psum pools
+    the acceptance signal for the shared dual-averaging update).
 
     ``sampling_driver``: 'sync' (lockstep batch-native transitions, chunked
     dispatches) or 'epoch' (epoch-specialized wavefront,
@@ -169,10 +179,12 @@ def run_chains(
     the max-over-lanes straggler tax; measured 1.3x at the headline config
     with per-chain adapted eps at reference-default max_depth). Identical
     per-transition semantics, slot-indexed RNG stream (the same documented
-    batch-shape caveat all batch-native drivers carry). Mesh-less only for
-    now. ``epoch_ring``: draw-ring rows = how many draws any lane may run
-    ahead of the slowest (scheduling only; draws are byte-identical for any
-    ring >= 2).
+    batch-shape caveat all batch-native drivers carry). Under a ``mesh``
+    each device runs its own epoch loop over its local lanes (per-device
+    slot/flush counters, zero cross-device communication — sampling never
+    adapts). ``epoch_ring``: draw-ring rows = how many draws any lane may
+    run ahead of the slowest (scheduling only; draws are byte-identical for
+    any ring >= 2).
 
     ``stratify_sampling=G`` (G > 1, per-chain stepsizes): sort lanes by
     adapted eps after warmup so each group's lockstep tree loop is bounded
@@ -205,13 +217,6 @@ def run_chains(
     if sampling_driver not in ("sync", "epoch"):
         raise ValueError("sampling_driver must be 'sync' or 'epoch'")
     if sampling_driver == "epoch":
-        if mesh is not None:
-            raise NotImplementedError(
-                "epoch sampling under a mesh is not wired yet (the carry "
-                "needs per-device slot/flush counters; use "
-                "sampling_driver='sync', whose shard_map path already "
-                "bounds each device's lockstep loop by its local lanes)"
-            )
         if stratify_sampling:
             raise ValueError(
                 "stratify_sampling is a scheduler for the synchronized "
@@ -232,16 +237,6 @@ def run_chains(
         **initialization,
     )
     chain_keys = jax.random.split(run_key, n_chains)
-    if warmup_driver == "wavefront" and mesh is not None and schedule is not None:
-        from ..stepsize import PooledStepsize
-
-        if isinstance(schedule.adaptation, PooledStepsize):
-            # the epochal shared-eps update would need a psum inside
-            # device-divergent while loops; collectives must run in lockstep
-            raise NotImplementedError(
-                "wavefront warmup under a mesh requires per-chain stepsize "
-                "adaptation (pooled_stepsize=False)"
-            )
     if warmup_depth_clamp_tail and warmup_depth_clamp is None:
         raise ValueError(
             "warmup_depth_clamp_tail requires warmup_depth_clamp"
@@ -259,6 +254,22 @@ def run_chains(
             "epoch sampling requires a fast-engine-expressible warmup "
             "schedule (homogeneous TuningNUTS blocks)"
         )
+    if warmup_checkpoint_sink is not None or warmup_resume is not None:
+        if schedule is None:
+            raise NotImplementedError(
+                "warmup checkpoint/resume requires a fast-engine-"
+                "expressible warmup schedule (homogeneous TuningNUTS blocks)"
+            )
+        if warmup_driver != "sync":
+            raise NotImplementedError(
+                "warmup checkpoint/resume requires the sync (monolithic) "
+                "warmup driver"
+            )
+        if algorithm.turn_statistic_configuration != "generalized":
+            raise NotImplementedError(
+                "warmup checkpoint/resume requires the batch-native drivers "
+                "(generalized turn statistic)"
+            )
     if schedule is None and (draw_sink is not None or stratify_sampling):
         # same never-silently-drop rule: the scan fallback keeps all draws
         # on device and never calls the sink (the user's store would stay
@@ -322,6 +333,8 @@ def run_chains(
             sample_chunk=sample_chunk,
             epoch_sampling=sampling_driver == "epoch",
             epoch_ring=epoch_ring,
+            warmup_sink=warmup_checkpoint_sink,
+            warmup_resume=warmup_resume,
         )
 
     lean = dict(
@@ -466,6 +479,8 @@ def _run_chains_fast(
     sample_chunk: Optional[int] = None,
     epoch_sampling: bool = False,
     epoch_ring: int = 8,
+    warmup_sink=None,
+    warmup_resume=None,
 ) -> MCMCResult:
     from ..stepsize import PooledStepsize
 
@@ -574,6 +589,8 @@ def _run_chains_fast(
         draw_sink=draw_sink,
         stratify_sampling=int(stratify_sampling) if stratify_sampling else 0,
         stratify_permute_only=stratify_mesh,
+        warmup_sink=warmup_sink,
+        warmup_resume=warmup_resume,
     )
     if search_results is not None:
         # Deliberately checked AFTER the run, not right after the search
@@ -709,15 +726,21 @@ def _fast_programs_batched_cached(
             # Mesh-sharded wavefront: each device runs its OWN wavefront over
             # its local lanes — per-device slot counters ("g" carried as a
             # (n_devices,) array) and per-device while-loop trip counts, so a
-            # device whose lanes finish early stops immediately. Zero
-            # cross-device communication inside the loop; that independence
-            # is exactly the group-per-device decomposition the stratified
-            # sampler uses. Pooled (shared) stepsize is rejected upstream:
-            # its epochal update would need a psum inside device-divergent
-            # while loops (collectives must run in lockstep — deadlock).
+            # device whose lanes finish early stops immediately. With
+            # per-chain stepsizes there is zero cross-device communication
+            # inside the loop (the group-per-device decomposition the
+            # stratified sampler uses). With POOLED stepsize the driver runs
+            # epoch-LOCKSTEP (tree_wavefront.make_wavefront_stage_driver's
+            # mesh_axis mode): the shared dual-averaging state stays
+            # replicated via one psum at every aligned epoch boundary, and
+            # the epochal accumulators become per-device partial sums peeled
+            # like "g".
             from ..tree_wavefront import wavefront_carry_specs
 
-            carry_specs = wavefront_carry_specs(P, CHAIN_AXIS)
+            carry_specs = wavefront_carry_specs(
+                P, CHAIN_AXIS, pooled_eps=pooled_eps
+            )
+            dev_keys = ("g", "acc_ep_sum", "acc_ep_n") if pooled_eps else ("g",)
             peel = functools.partial(jax.tree_util.tree_map, lambda x: x[0])
             unpeel = functools.partial(
                 jax.tree_util.tree_map, lambda x: x[None]
@@ -731,14 +754,16 @@ def _fast_programs_batched_cached(
                         key, jax.lax.axis_index(CHAIN_AXIS)
                     )
                     c = dict(carry)
-                    c["g"] = c["g"][0]
+                    for k in dev_keys:
+                        c[k] = c[k][0]
                     if pooled:
                         c["wf"] = peel(c["wf"])
                     out, done = inner_wf(
                         key, metric, c, n_steps, g_stop, depth_limit
                     )
                     out = dict(out)
-                    out["g"] = out["g"][None]
+                    for k in dev_keys:
+                        out[k] = out[k][None]
                     if pooled:
                         out["wf"] = unpeel(out["wf"])
                     return out, done[None]
@@ -757,7 +782,8 @@ def _fast_programs_batched_cached(
                 if pooled:
                     wf = peel(wf)
                 c = dict(inner_wi(Q, metric, da, wf))
-                c["g"] = c["g"][None]
+                for k in dev_keys:
+                    c[k] = c[k][None]
                 if pooled:
                     c["wf"] = unpeel(c["wf"])
                 return c
@@ -766,9 +792,81 @@ def _fast_programs_batched_cached(
                 fn_winit,
                 mesh=mesh,
                 in_specs=(
-                    P(CHAIN_AXIS), metric_spec, P(CHAIN_AXIS), P(CHAIN_AXIS),
+                    P(CHAIN_AXIS), metric_spec, da_spec, P(CHAIN_AXIS),
                 ),
                 out_specs=carry_specs,
+                check_vma=False,
+            )
+            return jax.jit(f)
+        if kind in ("sample_epoch", "sample_epoch_init", "sample_epoch_finish"):
+            # Mesh-sharded epoch sampling: like the mesh wavefront warmup,
+            # each device runs its own epoch loop over its local lanes with
+            # per-device slot/flush counters ("g"/"flushed" carried as
+            # (n_devices,) arrays) and independent trip counts. Sampling
+            # never adapts, so there is nothing to pool — zero cross-device
+            # communication inside the loop.
+            from ..tree_wavefront_epoch import epoch_carry_specs
+
+            ep_specs = epoch_carry_specs(P, CHAIN_AXIS)
+
+            def peel_c(c):
+                c = dict(c)
+                for k in ("g", "flushed"):
+                    c[k] = c[k][0]
+                return c
+
+            def unpeel_c(c):
+                c = dict(c)
+                for k in ("g", "flushed"):
+                    c[k] = c[k][None]
+                return c
+
+            if kind == "sample_epoch":
+                inner_ep = fn
+
+                def fn_epoch(key, metric, eps, carry, g_stop):
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index(CHAIN_AXIS)
+                    )
+                    out, done = inner_ep(
+                        key, metric, eps, peel_c(carry), g_stop
+                    )
+                    return unpeel_c(out), done[None]
+
+                f = jax.shard_map(
+                    fn_epoch,
+                    mesh=mesh,
+                    in_specs=(P(), metric_spec, eps_spec, ep_specs, P()),
+                    out_specs=(ep_specs, P(CHAIN_AXIS)),
+                    check_vma=False,
+                )
+                return jax.jit(f)
+            if kind == "sample_epoch_init":
+                inner_ei = fn
+
+                def fn_einit(Q, metric):
+                    return unpeel_c(inner_ei(Q, metric))
+
+                f = jax.shard_map(
+                    fn_einit,
+                    mesh=mesh,
+                    in_specs=(P(CHAIN_AXIS), metric_spec),
+                    out_specs=ep_specs,
+                    check_vma=False,
+                )
+                return jax.jit(f)
+            inner_ef = fn
+
+            def fn_efinish(carry):
+                return inner_ef(peel_c(carry))
+
+            f = jax.shard_map(
+                fn_efinish,
+                mesh=mesh,
+                in_specs=(ep_specs,),
+                out_specs=(
+                    P(CHAIN_AXIS), P(CHAIN_AXIS), P(CHAIN_AXIS), P(CHAIN_AXIS)
+                ),
                 check_vma=False,
             )
             return jax.jit(f)
@@ -823,6 +921,7 @@ def _fast_programs_batched_cached(
         sample_chunk=sample_chunk,
         mesh_axis=CHAIN_AXIS if (pooled and mesh is not None) else None,
         wf_leading=mesh.devices.size if (pooled and mesh is not None) else 0,
+        wavefront_mesh_axis=CHAIN_AXIS if mesh is not None else None,
         wavefront=wavefront,
         monolithic=monolithic,
         stratify=stratify,

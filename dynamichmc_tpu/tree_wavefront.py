@@ -151,18 +151,28 @@ _CARRY_KEYS = (
 )
 
 
-def wavefront_carry_specs(P, chain_axis):
+def wavefront_carry_specs(P, chain_axis, pooled_eps: bool = False):
     """``shard_map`` partition-spec prefix tree for the wavefront carry.
 
     Every per-chain leaf shards its leading (C) axis; the (S, C, K) merge
     stacks shard axis 1; the per-device slot counter "g" is carried as a
-    (n_devices,) array (one element per shard); the epochal pooled-eps
-    accumulators stay replicated (they are inert under per-chain adaptation,
-    the only stepsize mode the mesh wavefront supports)."""
+    (n_devices,) array (one element per shard).
+
+    ``pooled_eps=False`` (per-chain adaptation): the epochal accumulators
+    stay replicated (inert) and "da" is per-lane. ``pooled_eps=True``
+    (shared stepsize): "da" is ONE replicated state — the epoch-lockstep
+    driver keeps it identical across devices via a psum at every aligned
+    epoch boundary — and the epoch accumulators become per-device partial
+    sums, carried as (n_devices,) arrays like "g"."""
     specs = {k: P(chain_axis) for k in _CARRY_KEYS}
     specs["stack"] = P(None, chain_axis)
-    specs["acc_ep_sum"] = P()
-    specs["acc_ep_n"] = P()
+    if pooled_eps:
+        specs["da"] = P()
+        specs["acc_ep_sum"] = P(chain_axis)
+        specs["acc_ep_n"] = P(chain_axis)
+    else:
+        specs["acc_ep_sum"] = P()
+        specs["acc_ep_n"] = P()
     return specs
 
 
@@ -236,6 +246,7 @@ def make_wavefront_stage_driver(
     pooled_eps: bool = False,
     epoch: int = 16,
     noise: WavefrontNoise | None = None,
+    mesh_axis: str | None = None,
 ):
     """Resumable wavefront tuning-stage program.
 
@@ -256,6 +267,14 @@ def make_wavefront_stage_driver(
     update cadence only changes the adaptation trajectory, which pooled
     adaptation is robust to. Epoch boundaries key off the global counter,
     so host chunking stays bitwise reproducible.
+
+    ``mesh_axis`` (with ``pooled_eps``): the named mesh axis to pool the
+    epochal acceptance signal over. The slot loop is then restructured into
+    an epoch-LOCKSTEP outer loop — devices run their divergent slot loops
+    only within an epoch, and the shared dual-averaging update fires from
+    psum'd accumulators at aligned global-counter boundaries, outside the
+    divergent inner loop (collectives must run in lockstep). Per-chain
+    adaptation (``pooled_eps=False``) never communicates and ignores this.
     """
     if algorithm.turn_statistic_configuration != "generalized":
         raise NotImplementedError(
@@ -488,26 +507,32 @@ def make_wavefront_stage_driver(
             acc_rate = acceptance_rate(AcceptanceStatistic(log_sum, steps_tr))
             if pooled_eps:
                 # SHARED eps: accumulate completed transitions' acceptance;
-                # one pooled DA update per epoch of global slots
+                # one pooled DA update per epoch of global slots. Under a
+                # mesh the update moves OUT of the (device-divergent) slot
+                # body to the epoch-lockstep outer loop below, where the
+                # cross-device psum is legal; the body only accumulates.
                 acc_ep_sum = c["acc_ep_sum"] + jnp.sum(
                     jnp.where(tr_done, acc_rate, 0.0)
                 )
                 acc_ep_n = c["acc_ep_n"] + jnp.sum(tr_done.astype(dtype))
-                at_epoch = ((g + 1) % jnp.int32(epoch)) == 0
+                if mesh_axis is None:
+                    at_epoch = ((g + 1) % jnp.int32(epoch)) == 0
 
-                def ep_update(args):
-                    da_in, ssum, n = args
-                    da_out = adaptation.update(
-                        da_in, ssum / jnp.maximum(n, 1.0)
+                    def ep_update(args):
+                        da_in, ssum, n = args
+                        da_out = adaptation.update(
+                            da_in, ssum / jnp.maximum(n, 1.0)
+                        )
+                        return da_out, jnp.zeros_like(ssum), jnp.zeros_like(n)
+
+                    da, acc_ep_sum, acc_ep_n = jax.lax.cond(
+                        at_epoch & (acc_ep_n > 0),
+                        ep_update,
+                        lambda args: args,
+                        (c["da"], acc_ep_sum, acc_ep_n),
                     )
-                    return da_out, jnp.zeros_like(ssum), jnp.zeros_like(n)
-
-                da, acc_ep_sum, acc_ep_n = jax.lax.cond(
-                    at_epoch & (acc_ep_n > 0),
-                    ep_update,
-                    lambda args: args,
-                    (c["da"], acc_ep_sum, acc_ep_n),
-                )
+                else:
+                    da = c["da"]
             else:
                 acc_ep_sum = c["acc_ep_sum"]
                 acc_ep_n = c["acc_ep_n"]
@@ -577,7 +602,65 @@ def make_wavefront_stage_driver(
                 "steps_adj": steps_adj,
             }
 
-        out = jax.lax.while_loop(cond, body, carry)
+        if not (pooled_eps and mesh_axis is not None):
+            out = jax.lax.while_loop(cond, body, carry)
+            all_done = jnp.all(out["t"] >= n_steps)
+            return out, all_done
+
+        # --- pooled eps under a mesh: epoch-lockstep outer loop ------------
+        # Collectives must execute in lockstep, so the device-divergent slot
+        # loop is bounded by ABSOLUTE epoch boundaries of the global counter
+        # (every device starts the stage at g=0, so g stays uniform across
+        # devices by construction): inner while advances lanes to the next
+        # multiple of ``epoch``, then ONE psum pools the acceptance
+        # accumulators and a single shared dual-averaging update fires —
+        # outside the divergent loop, identically on every device. The DA
+        # update keys off absolute g, so host chunking (any g_stop) stays
+        # bitwise reproducible; a dispatch that ends mid-epoch just carries
+        # the partial accumulators forward. A device whose lanes are all
+        # done skips its slots (lane state is untouched either way) but
+        # keeps participating in the boundary collectives until every
+        # device's lanes finish.
+        def outer_cond(s):
+            c, gdone = s
+            return (c["g"] < g_stop) & ~gdone
+
+        def outer_body(s):
+            c, _ = s
+            epoch_end = jnp.minimum(
+                (c["g"] // jnp.int32(epoch) + 1) * jnp.int32(epoch), g_stop
+            )
+
+            def inner_cond(cc):
+                return (cc["g"] < epoch_end) & jnp.any(cc["t"] < n_steps)
+
+            c = jax.lax.while_loop(inner_cond, body, c)
+            # skipping slots is exact for a finished device: the body is a
+            # no-op on dead lanes and unused RNG draws consume nothing
+            c = dict(c, g=epoch_end)
+            at_epoch = (c["g"] % jnp.int32(epoch)) == 0
+            ssum = jax.lax.psum(c["acc_ep_sum"], mesh_axis)
+            n = jax.lax.psum(c["acc_ep_n"], mesh_axis)
+
+            def ep_update(args):
+                da_in, _ssum, _n = args
+                da_out = adaptation.update(da_in, ssum / jnp.maximum(n, 1.0))
+                return da_out, jnp.zeros_like(_ssum), jnp.zeros_like(_n)
+
+            da, acc_ep_sum, acc_ep_n = jax.lax.cond(
+                at_epoch & (n > 0),
+                ep_update,
+                lambda args: args,
+                (c["da"], c["acc_ep_sum"], c["acc_ep_n"]),
+            )
+            c = dict(c, da=da, acc_ep_sum=acc_ep_sum, acc_ep_n=acc_ep_n)
+            live = jnp.any(c["t"] < n_steps)
+            gdone = jax.lax.psum(live.astype(jnp.int32), mesh_axis) == 0
+            return c, gdone
+
+        live0 = jnp.any(carry["t"] < n_steps)
+        gdone0 = jax.lax.psum(live0.astype(jnp.int32), mesh_axis) == 0
+        out, _ = jax.lax.while_loop(outer_cond, outer_body, (carry, gdone0))
         all_done = jnp.all(out["t"] >= n_steps)
         return out, all_done
 

@@ -115,6 +115,44 @@ def _trailing_ones_scalar(g):
     )
 
 
+# carry keys whose chain axis is SECOND (leading axis = stack level / ring
+# row / draw index); everything else shards its leading (C) axis, except the
+# per-device scalar counters below
+_AXIS1_KEYS = (
+    "deep",
+    "ring_q", "ring_ld", "ring_pi", "ring_acc", "ring_depth", "ring_steps",
+    "ring_tl", "ring_tr", "ring_work", "ring_dirs",
+    "out_q", "out_ld", "out_pi", "out_acc", "out_depth", "out_steps",
+    "out_tl", "out_tr", "out_work", "out_dirs",
+)
+# scalars in the single-chip carry; carried as (n_devices,) arrays under a
+# mesh (one element per shard — devices advance independently)
+_DEVICE_SCALAR_KEYS = ("g", "flushed")
+_LANE_KEYS = (
+    "t", "rec", "need_restart", "waiting", "building", "pending_done",
+    "pending_inv", "Q", "dirs", "pi0", "d", "is_fwd", "z_minus", "z_plus",
+    "i_minus", "i_plus", "prop_q", "prop_ld", "prop_grad", "prop_pi",
+    "omega", "tau", "log_sum", "steps_tr", "g_restart", "tree_g0", "i_edge",
+    "i_cur", "z", "sp_last", "omega_adj", "best_score", "best_q", "best_ld",
+    "best_grad", "best_pi", "lsum_adj", "steps_adj", "inv_left", "inv_right",
+    "L0", "L1", "L2",
+)
+
+
+def epoch_carry_specs(P, chain_axis):
+    """``shard_map`` partition-spec prefix tree for the epoch sampling carry.
+
+    Each device runs its OWN epoch loop over its local lanes (per-device
+    slot/flush counters, independent while-loop trip counts, zero
+    cross-device communication — sampling never adapts, so unlike the
+    pooled-eps warmup there is nothing to pool). tests pin these key sets
+    against epoch_sampling_init's actual carry."""
+    specs = {k: P(chain_axis) for k in _LANE_KEYS + _DEVICE_SCALAR_KEYS}
+    for k in _AXIS1_KEYS:
+        specs[k] = P(None, chain_axis)
+    return specs
+
+
 def epoch_sampling_init(
     Q: EvaluatedPoint, metric: Metric, n_samples: int, max_depth: int,
     ring: int = 8,

@@ -5,6 +5,12 @@ independently-warmed chains, then gate on
 
 - split rank-normalized R-hat        (alert > 1.01, fail > 1.02)
 - ESS per draw tau = ESS / draws     (alert < 1.0, fail < 0.5)
+  NOTE: ``draws`` here is the TOTAL pooled draw count (n_chains * n_samples).
+  The reference divides total ESS by draws PER CHAIN
+  (sample-correctness_utilities.jl:40-43), so at the default 5 chains this
+  protocol's tau gate is 5x STRICTER than the reference's at equal
+  thresholds; workloads that need exactly reference-strength gating pass
+  thresholds scaled by 1/n_chains.
 - per-coordinate two-sample Anderson-Darling p vs exact i.i.d. samples,
   Bonferroni-corrected by dimension   (alert < 0.1, fail < 0.01)
 - EBFMI per chain                     (alert < 0.5, fail < 0.25)

@@ -148,7 +148,7 @@ def test_wavefront_warmup_on_mesh():
     assert np.abs(qs.mean(0)).max() < 0.3
 
     # pooled METRIC (shared, Chan-combined across devices) still works with
-    # the wavefront — only pooled STEPSIZE is rejected
+    # the wavefront
     res2 = run_chains(
         jax.random.PRNGKey(9),
         mvnormal(np.zeros(3), cov),
@@ -163,14 +163,33 @@ def test_wavefront_warmup_on_mesh():
     assert m_inv.shape == (3,)
     np.testing.assert_allclose(m_inv, np.diag(cov), rtol=0.5)
 
-    with pytest.raises(NotImplementedError, match="per-chain stepsize"):
-        run_chains(
-            jax.random.PRNGKey(10), std_normal(3), n_chains=16, n_samples=10,
-            mesh=mesh, warmup_driver="wavefront",
-            warmup_stages=default_warmup_stages(
-                pooled=True, pooled_stepsize=True
-            ),
-        )
+
+def test_wavefront_pooled_eps_on_mesh():
+    """Pooled (shared) stepsize + wavefront warmup under a mesh: the driver
+    runs epoch-lockstep — devices synchronize at aligned global-counter
+    boundaries where one psum pools the acceptance signal, so the shared
+    dual-averaging state stays identical across devices."""
+    mesh = chain_mesh()
+    cov = np.diag([0.5, 1.0, 2.0])
+    res = run_chains(
+        jax.random.PRNGKey(10),
+        mvnormal(np.zeros(3), cov),
+        n_chains=16,
+        n_samples=150,
+        dtype=jnp.float64,
+        mesh=mesh,
+        warmup_driver="wavefront",
+        warmup_stages=default_warmup_stages(
+            pooled=True, pooled_stepsize=True
+        ),
+    )
+    eps = np.asarray(res.eps)
+    # ONE shared eps for the whole fleet
+    assert eps.ndim == 0 or len(np.unique(eps)) == 1, eps
+    assert np.all(eps > 0)
+    qs = np.asarray(res.positions).reshape(-1, 3)
+    np.testing.assert_allclose(qs.std(0), np.sqrt(np.diag(cov)), rtol=0.15)
+    assert np.abs(qs.mean(0)).max() < 0.3
 
 
 def test_fused_default_init_matches_eager_construction():
