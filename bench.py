@@ -94,7 +94,9 @@ def _model(dim: int, fused: bool):
     if name == "logreg":
         from dynamichmc_tpu.models import logistic_regression
 
-        return logistic_regression(n_obs=1000, dim=dim, dtype=jnp.float32)
+        return logistic_regression(
+            n_obs=1000, dim=dim, dtype=jnp.float32, fused=fused
+        )
     if name == "stdnormal":
         from dynamichmc_tpu.models import std_normal
 

@@ -20,9 +20,16 @@ def logistic_regression(
     seed: int = 0,
     prior_scale: float = 10.0,
     dtype=jnp.float64,
+    fused: bool = False,
 ) -> TestModel:
     """Synthetic logistic regression: X ~ N(0, I), true beta ~ N(0, 1),
-    y ~ Bernoulli(sigmoid(X beta)); weakly-informative normal prior."""
+    y ~ Bernoulli(sigmoid(X beta)); weakly-informative normal prior.
+
+    ``fused=True`` attaches the Pallas fused-leaf hook
+    (ops/pallas_logreg.py): the batch drivers then run the whole leaf —
+    leapfrog + both likelihood matmuls + joint energy — as one kernel with
+    X resident in VMEM. ``fused=False`` keeps the reference's AD-user-side
+    contract (gradient via jax.value_and_grad through the matmul)."""
     rng = np.random.RandomState(seed)
     x_np = rng.randn(n_obs, dim)
     beta_true = rng.randn(dim)
@@ -31,6 +38,14 @@ def logistic_regression(
 
     x = jnp.asarray(x_np, dtype)
     y = jnp.asarray(y_np, dtype)
+
+    fused_leaf_batched_fn = None
+    if fused:
+        from ..ops.pallas_logreg import make_logreg_fused_leaf_batched
+
+        fused_leaf_batched_fn = make_logreg_fused_leaf_batched(
+            x_np, y_np, prior_scale=prior_scale
+        )
 
     def logdensity_fn(beta):
         logits = x.astype(beta.dtype) @ beta
@@ -41,4 +56,8 @@ def logistic_regression(
         log_prior = -0.5 * jnp.sum((beta / prior_scale) ** 2)
         return loglik + log_prior
 
-    return TestModel(dim=dim, logdensity_fn=logdensity_fn)
+    return TestModel(
+        dim=dim,
+        logdensity_fn=logdensity_fn,
+        fused_leaf_batched_fn=fused_leaf_batched_fn,
+    )
