@@ -1419,7 +1419,12 @@ def make_stage_driver_batched(
     the variant for eps-only blocks: their moments are discarded, and the
     per-chain dense accumulator is a (C, K, K) read+write per transition —
     skipping it is a large HBM saving on metric-free blocks."""
-    from .tree_batched import make_tree_scratch, sample_tree_batched
+    from .tree_batched import (
+        make_tree_scratch,
+        make_tree_stack_refs,
+        sample_tree_batched,
+        use_ref_stack,
+    )
 
     if use_welford:
         wf_update = welford_update_pooled_b if pooled_welford else welford_update_b
@@ -1430,6 +1435,10 @@ def make_stage_driver_batched(
     def stage(key, Q: EvaluatedPoint, metric: Metric, da_state, welford, start_i, n_steps):
         c, k = Q.q.shape
         dtype = Q.q.dtype
+        refs = (
+            make_tree_stack_refs(algorithm, metric, c, k, dtype)
+            if use_ref_stack() else None
+        )
 
         def cond(carry):
             return carry["i"] < start_i + n_steps
@@ -1437,16 +1446,22 @@ def make_stage_driver_batched(
         def body(carry):
             step_key = jax.random.fold_in(key, carry["i"])
             eps = adaptation.current(carry["da"])
-            Q_new, stats, scratch = sample_tree_batched(
-                step_key, algorithm, ld, metric, carry["Q"], eps,
-                scratch=carry["scratch"],
-            )
+            if refs is not None:
+                Q_new, stats = sample_tree_batched(
+                    step_key, algorithm, ld, metric, carry["Q"], eps,
+                    stack_ref=refs,
+                )
+                scratch = None
+            else:
+                Q_new, stats, scratch = sample_tree_batched(
+                    step_key, algorithm, ld, metric, carry["Q"], eps,
+                    scratch=carry["scratch"],
+                )
             da = adaptation.update(carry["da"], stats.acceptance_rate)
             wf = wf_update(carry["wf"], Q_new.q)
-            return {
+            new_carry = {
                 "i": carry["i"] + 1,
                 "Q": Q_new,
-                "scratch": scratch,
                 "da": da,
                 "wf": wf,
                 "acc_sum": carry["acc_sum"] + stats.acceptance_rate,
@@ -1455,23 +1470,24 @@ def make_stage_driver_batched(
                 "maxd": carry["maxd"] + stats.reached_max_depth.astype(jnp.int32),
                 "work": carry["work"] + stats.work,
             }
+            if refs is None:
+                new_carry["scratch"] = scratch
+            return new_carry
 
-        out = jax.lax.while_loop(
-            cond,
-            body,
-            {
-                "i": jnp.asarray(start_i, jnp.int32),
-                "Q": Q,
-                "scratch": make_tree_scratch(algorithm, metric, c, k, dtype),
-                "da": da_state,
-                "wf": welford,
-                "acc_sum": jnp.zeros((c,), dtype),
-                "div": jnp.zeros((c,), jnp.int32),
-                "steps": jnp.zeros((c,), jnp.int32),
-                "maxd": jnp.zeros((c,), jnp.int32),
-                "work": jnp.zeros((c,), jnp.int32),
-            },
-        )
+        init = {
+            "i": jnp.asarray(start_i, jnp.int32),
+            "Q": Q,
+            "da": da_state,
+            "wf": welford,
+            "acc_sum": jnp.zeros((c,), dtype),
+            "div": jnp.zeros((c,), jnp.int32),
+            "steps": jnp.zeros((c,), jnp.int32),
+            "maxd": jnp.zeros((c,), jnp.int32),
+            "work": jnp.zeros((c,), jnp.int32),
+        }
+        if refs is None:
+            init["scratch"] = make_tree_scratch(algorithm, metric, c, k, dtype)
+        out = jax.lax.while_loop(cond, body, init)
         totals = {
             "acc_sum": out["acc_sum"],
             "div": out["div"],
@@ -1525,7 +1541,12 @@ def make_monolithic_warmup_driver(
     Replicates the reference's stage fold semantics (mcmc.jl:450-457,
     TuningNUTS mcmc.jl:258-286) with runtime trip counts.
     """
-    from .tree_batched import make_tree_scratch, sample_tree_batched
+    from .tree_batched import (
+        make_tree_scratch,
+        make_tree_stack_refs,
+        sample_tree_batched,
+        use_ref_stack,
+    )
 
     adaptation = schedule.adaptation
     sizes = schedule.block_sizes
@@ -1565,6 +1586,10 @@ def make_monolithic_warmup_driver(
         c0 = Q.q.shape[0]
         dtype = Q.q.dtype
         k0 = Q.q.shape[1]
+        refs = (
+            make_tree_stack_refs(algorithm, metric, c0, k0, dtype)
+            if use_ref_stack() else None
+        )
 
         def cond(c):
             return c["i"] < start_i + n_steps
@@ -1580,10 +1605,17 @@ def make_monolithic_warmup_driver(
                     i < clamp_until, jnp.int32(clamp),
                     jnp.int32(algorithm.max_depth),
                 )
-            Q_new, stats, scratch = sample_tree_batched(
-                step_key, algorithm, ld, c["metric"], c["Q"], eps,
-                scratch=c["scratch"], depth_limit=dl,
-            )
+            if refs is not None:
+                Q_new, stats = sample_tree_batched(
+                    step_key, algorithm, ld, c["metric"], c["Q"], eps,
+                    stack_ref=refs, depth_limit=dl,
+                )
+                scratch = None
+            else:
+                Q_new, stats, scratch = sample_tree_batched(
+                    step_key, algorithm, ld, c["metric"], c["Q"], eps,
+                    scratch=c["scratch"], depth_limit=dl,
+                )
             da = adaptation.update(c["da"], stats.acceptance_rate)
             wf = jax.lax.cond(
                 in_metric_block(i),
@@ -1637,10 +1669,9 @@ def make_monolithic_warmup_driver(
                 met_hit, do_metric, lambda args: args, (wf, c["metric"])
             )
 
-            return {
+            new_c = {
                 "i": i_new,
                 "Q": Q_new,
-                "scratch": scratch,
                 "metric": metric,
                 "da": da,
                 "wf": wf,
@@ -1651,25 +1682,26 @@ def make_monolithic_warmup_driver(
                 "maxd": c["maxd"] + stats.reached_max_depth.astype(jnp.int32),
                 "work": c["work"] + stats.work,
             }
+            if refs is None:
+                new_c["scratch"] = scratch
+            return new_c
 
-        out = jax.lax.while_loop(
-            cond,
-            body,
-            {
-                "i": jnp.asarray(start_i, jnp.int32),
-                "Q": Q,
-                "scratch": make_tree_scratch(algorithm, metric, c0, k0, dtype),
-                "metric": metric,
-                "da": da,
-                "wf": wf,
-                "eps_run": eps_run,
-                "acc_sum": jnp.zeros((c0,), dtype),
-                "div": jnp.zeros((c0,), jnp.int32),
-                "steps": jnp.zeros((c0,), jnp.int32),
-                "maxd": jnp.zeros((c0,), jnp.int32),
-                "work": jnp.zeros((c0,), jnp.int32),
-            },
-        )
+        init = {
+            "i": jnp.asarray(start_i, jnp.int32),
+            "Q": Q,
+            "metric": metric,
+            "da": da,
+            "wf": wf,
+            "eps_run": eps_run,
+            "acc_sum": jnp.zeros((c0,), dtype),
+            "div": jnp.zeros((c0,), jnp.int32),
+            "steps": jnp.zeros((c0,), jnp.int32),
+            "maxd": jnp.zeros((c0,), jnp.int32),
+            "work": jnp.zeros((c0,), jnp.int32),
+        }
+        if refs is None:
+            init["scratch"] = make_tree_scratch(algorithm, metric, c0, k0, dtype)
+        out = jax.lax.while_loop(cond, body, init)
         totals = {
             "acc_sum": out["acc_sum"],
             "div": out["div"],
@@ -1689,19 +1721,40 @@ def make_sampling_driver_batched(ld: LogDensity, algorithm: NUTS, chunk: int):
     """Batch-native fixed-size sampling chunk; same contract as
     make_sampling_driver but positions stack as (chunk, C, K) and are
     transposed to (C, chunk, K) on return."""
-    from .tree_batched import make_tree_scratch, sample_tree_batched
+    from .tree_batched import (
+        make_tree_scratch,
+        make_tree_stack_refs,
+        sample_tree_batched,
+        use_ref_stack,
+    )
 
     def sample(key, Q: EvaluatedPoint, metric: Metric, eps, start_i):
+        refs = (
+            make_tree_stack_refs(
+                algorithm, metric, Q.q.shape[0], Q.q.shape[1], Q.q.dtype
+            )
+            if use_ref_stack() else None
+        )
+
         def step(carry, j):
             Q, scratch = carry
             step_key = jax.random.fold_in(key, start_i + j)
-            Q_new, stats, scratch = sample_tree_batched(
-                step_key, algorithm, ld, metric, Q, eps, scratch=scratch
-            )
+            if refs is not None:
+                Q_new, stats = sample_tree_batched(
+                    step_key, algorithm, ld, metric, Q, eps, stack_ref=refs
+                )
+            else:
+                Q_new, stats, scratch = sample_tree_batched(
+                    step_key, algorithm, ld, metric, Q, eps, scratch=scratch
+                )
             return (Q_new, scratch), (Q_new.q, Q_new.logdensity, stats)
 
-        scratch0 = make_tree_scratch(
-            algorithm, metric, Q.q.shape[0], Q.q.shape[1], Q.q.dtype
+        scratch0 = (
+            None
+            if refs is not None
+            else make_tree_scratch(
+                algorithm, metric, Q.q.shape[0], Q.q.shape[1], Q.q.dtype
+            )
         )
         (Q_final, _), (qs, lds, stats) = jax.lax.scan(
             step, (Q, scratch0), jnp.arange(chunk, dtype=jnp.int32)

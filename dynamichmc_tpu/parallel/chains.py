@@ -626,11 +626,15 @@ def _fast_programs_batched(
 ):
     """Cache-normalizing wrapper: kwargs/defaults collapse to one canonical
     positional key (lru_cache keys f(a) and f(a, b=default) differently —
-    the retrace QA pin relies on exact cache hits)."""
+    the retrace QA pin relies on exact cache hits). The ref-stack mode flag
+    (tree_batched.use_ref_stack, read at trace time by the drivers) joins
+    the key so toggling it builds a distinct program bundle."""
+    from ..tree_batched import use_ref_stack
+
     return _fast_programs_batched_cached(
         ld, algorithm, schedule, mesh, int(sample_chunk), bool(wavefront),
         bool(monolithic), int(stratify), int(stratify_chunk),
-        int(epoch_samples), int(epoch_ring),
+        int(epoch_samples), int(epoch_ring), bool(use_ref_stack()),
     )
 
 
@@ -647,6 +651,7 @@ def _fast_programs_batched_cached(
     stratify_chunk: int,
     epoch_samples: int = 0,
     epoch_ring: int = 8,
+    ref_stack: bool = False,
 ):
     """Batch-native program bundle (tree_batched.py): no vmap; shard_map
     wraps the batched functions directly. One scalar key drives each program;

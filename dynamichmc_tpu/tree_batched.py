@@ -42,6 +42,7 @@ generic driver, 129k at round-1 close).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -58,6 +59,36 @@ from .tree import normalize_termination
 # attribute per-leaf cost. Never set in production paths; results are
 # statistically wrong with any ablation active.
 _ablate: frozenset = frozenset()
+
+# Merge-stack storage mode. "ref" keeps the (S, C, K) stacks in jax.Ref
+# buffers mutated in place — they leave BOTH while-loop carries (the inner
+# leaf loop and the outer doubling loop), so loop entries stop paying for
+# them; carry mode threads them as regular carry arrays (the round-2
+# "scratch threading" design). Values computed are identical either way —
+# the same slots are written before they are read — so draws are bitwise
+# equal (tests/test_ref_stack.py pins this).
+_USE_REF_STACK = os.environ.get("DYNHMC_REF_STACK", "0") == "1"
+
+
+def use_ref_stack() -> bool:
+    """Whether engine drivers should allocate the merge stack as jax.Ref
+    buffers (DYNHMC_REF_STACK=1) instead of threading carry arrays."""
+    return _USE_REF_STACK
+
+
+def make_tree_stack_refs(algorithm: NUTS, metric: Metric, C: int, K: int,
+                         dtype):
+    """Allocate the merge stack as in-place jax.Ref buffers. Must be called
+    INSIDE the jitted program (refs are program-local state), outside its
+    transition loop; pass the result to ``sample_tree_batched(stack_ref=)``.
+    One allocation serves every transition of the program — slots are
+    written before they are read within each doubling (see the scratch
+    safety note on sample_tree_batched)."""
+    tau_len = make_tau_ops(metric).tau_len
+    S = algorithm.max_depth
+    return tuple(
+        jax.new_ref(jnp.zeros((S, C, K), dtype)) for _ in range(tau_len)
+    )
 
 
 # --- batched metric helpers (shared or per-chain) -------------------------------
@@ -232,14 +263,18 @@ def make_tau_ops(metric: Metric) -> TauOps:
 
 
 def _merge_pending(n, stack, node, combine_dir, is_fwd, i_edge, step,
-                   start_level, turned, turn_left):
+                   start_level, turned, turn_left, is_ref=False):
     """Trailing-ones merge run of the batch-native driver: merge ``node``
     (the just-built leaf/subtree statistic) with the pending subtree at every
     trailing one-bit level of the scalar leaf counter ``n``, freezing a lane's
     node once it turned, then park the result at its (scalar) slot with an
     in-place dynamic update. SHARED between the production driver and the
     dummy-trajectory detailed-balance shim (tests/dummy_batched.py) so the
-    enumeration proof exercises this exact merge logic."""
+    enumeration proof exercises this exact merge logic.
+
+    ``is_ref``: ``stack`` is a tuple of jax.Ref buffers (make_tree_stack_refs)
+    — pops become ref reads and the park becomes an in-place ref write (the
+    returned ``stack`` is then the same ref tuple, mutated)."""
 
     def mcond(mc):
         _node, level, _turned, _tl = mc
@@ -247,10 +282,13 @@ def _merge_pending(n, stack, node, combine_dir, is_fwd, i_edge, step,
 
     def mbody(mc):
         node, level, turned, tl = mc
-        popped = tuple(
-            jax.lax.dynamic_index_in_dim(s, level, 0, keepdims=False)
-            for s in stack
-        )
+        if is_ref:
+            popped = tuple(s[level] for s in stack)
+        else:
+            popped = tuple(
+                jax.lax.dynamic_index_in_dim(s, level, 0, keepdims=False)
+                for s in stack
+            )
         merged, turning = combine_dir(popped, node, is_fwd)
         first_new_turn = turning & ~turned
         a = n - (jnp.int32(1) << (level + 1)) + jnp.int32(1)
@@ -267,11 +305,15 @@ def _merge_pending(n, stack, node, combine_dir, is_fwd, i_edge, step,
     node, level, turned, turn_left = jax.lax.while_loop(
         mcond, mbody, (node, start_level, turned, turn_left)
     )
-    # store the merged subtree at its (scalar) slot: in-place DUS
-    stack = tuple(
-        jax.lax.dynamic_update_index_in_dim(s, v, level, 0)
-        for s, v in zip(stack, node)
-    )
+    # store the merged subtree at its (scalar) slot: in-place DUS / ref write
+    if is_ref:
+        for s, v in zip(stack, node):
+            s[level] = v
+    else:
+        stack = tuple(
+            jax.lax.dynamic_update_index_in_dim(s, v, level, 0)
+            for s, v in zip(stack, node)
+        )
     return node, level, turned, turn_left, stack
 
 
@@ -365,11 +407,20 @@ def sample_tree_batched(
     p: Optional[jnp.ndarray] = None,  # (C, K) injectable momenta (tests)
     noise=None,  # tree.TreeNoise with (C,)-tailed arrays (tests)
     depth_limit=None,  # runtime doubling cap <= max_depth (warmup clamp)
+    stack_ref=None,  # make_tree_stack_refs buffers: in-place merge stack
 ):
     """One NUTS transition for a whole chain batch. Returns (Q', stats), or
     (Q', stats, scratch') when ``scratch`` is given (thread scratch' back
     into the next call — contents are meaningless between transitions; the
     return exists so enclosing while/scan carries can alias the buffer).
+
+    ``stack_ref`` (exclusive with ``scratch``): the merge stack as a tuple
+    of jax.Ref buffers (:func:`make_tree_stack_refs`), written IN PLACE —
+    the (S, C, K) stacks then ride neither while-loop carry, so the
+    per-doubling inner-loop entry and the per-transition outer-loop entry
+    stop paying for them. Same values, same slot discipline, bitwise-equal
+    draws (tests/test_ref_stack.py); returns (Q', stats) with the refs
+    mutated.
 
     ``depth_limit`` (optional, runtime scalar) caps the number of doublings
     below the static ``max_depth`` — the warmup depth clamp: early-warmup
@@ -388,6 +439,9 @@ def sample_tree_batched(
             "the batch-native driver supports only the generalized turn "
             "statistic; use sample_tree(fast=False) for custom statistics"
         )
+    ref_mode = stack_ref is not None
+    if ref_mode and scratch is not None:
+        raise ValueError("pass either scratch= or stack_ref=, not both")
     C, K = Q.q.shape
     dtype = Q.q.dtype
     max_depth = algorithm.max_depth
@@ -495,22 +549,27 @@ def sample_tree_batched(
             turn_left = jnp.zeros((C,), jnp.int32)
 
             if "merge" in _ablate:
-                stack = tuple(
-                    jax.lax.dynamic_update_index_in_dim(s, v, 0, 0)
-                    for s, v in zip(c["stack"], node)
-                )
+                if ref_mode:
+                    for s, v in zip(stack_ref, node):
+                        s[0] = v
+                    stack = None
+                else:
+                    stack = tuple(
+                        jax.lax.dynamic_update_index_in_dim(s, v, 0, 0)
+                        for s, v in zip(c["stack"], node)
+                    )
             else:
                 node, level, turned, turn_left, stack = _merge_pending(
-                    c["n"], c["stack"], node, combine_dir, is_fwd, i_edge,
-                    step, jnp.int32(0), turned, turn_left,
+                    c["n"], stack_ref if ref_mode else c["stack"], node,
+                    combine_dir, is_fwd, i_edge,
+                    step, jnp.int32(0), turned, turn_left, is_ref=ref_mode,
                 )
 
             invalid = live & (divergent | turned)
             left = jnp.where(divergent, i_new, turn_left)
-            return {
+            new_c = {
                 "n": c["n"] + jnp.int32(1),
                 "z": z,
-                "stack": stack,
                 "building": c["building"] & ~(divergent | turned),
                 "log_sum": log_sum,
                 "steps": steps,
@@ -523,11 +582,13 @@ def sample_tree_batched(
                 "inv_left": jnp.where(invalid, left, c["inv_left"]),
                 "inv_right": jnp.where(invalid, i_new, c["inv_right"]),
             }
+            if not ref_mode:
+                new_c["stack"] = stack
+            return new_c
 
         init = {
             "n": jnp.int32(0),
             "z": z_edge,
-            "stack": stack,
             "building": jnp.ones((C,), bool),
             "log_sum": jnp.full((C,), -jnp.inf, dtype),
             "steps": jnp.zeros((C,), jnp.int32),
@@ -540,6 +601,8 @@ def sample_tree_batched(
             "inv_left": jnp.zeros((C,), jnp.int32),
             "inv_right": jnp.zeros((C,), jnp.int32),
         }
+        if not ref_mode:
+            init["stack"] = stack
         # One single-leaf loop. A peeled-leaf-0 + (odd, even)-pair unrolling
         # was built and measured: it DOUBLED per-doubling cost (87 -> 197 us)
         # because each extra while_loop instance pays a large entry cost for
@@ -547,10 +610,14 @@ def sample_tree_batched(
         # iterations.
         out = jax.lax.while_loop(cond, process_leaf, init)
         # the completed tree's turn statistic sits at slot == d
-        tau_tree = tuple(
-            jax.lax.dynamic_index_in_dim(s, jnp.minimum(d, S - 1), 0, keepdims=False)
-            for s in out["stack"]
-        )
+        slot = jnp.minimum(d, S - 1)
+        if ref_mode:
+            tau_tree = tuple(s[slot] for s in stack_ref)
+        else:
+            tau_tree = tuple(
+                jax.lax.dynamic_index_in_dim(s, slot, 0, keepdims=False)
+                for s in out["stack"]
+            )
         out["tau_tree"] = tau_tree
         out["i_end"] = i_edge + step * out["n"]
         return out
@@ -568,7 +635,8 @@ def sample_tree_batched(
         z_edge = _where_edge(is_fwd, c["z_plus"], c["z_minus"])
         i_edge = jnp.where(is_fwd, c["i_plus"], c["i_minus"])
 
-        adj = adjacent(kadj, c["d"], z_edge, i_edge, is_fwd, engaged, c["stack"])
+        adj = adjacent(kadj, c["d"], z_edge, i_edge, is_fwd, engaged,
+                       None if ref_mode else c["stack"])
         upd = _doubling_bookkeeping(c, adj, engaged, is_fwd, combine_dir)
         valid = upd.pop("valid")
 
@@ -587,25 +655,22 @@ def sample_tree_batched(
         prop_grad = jnp.where(take, adj["best_grad"], c["prop_grad"])
         prop_pi = jnp.where(valid & accept, adj["best_pi"], c["prop_pi"])
 
-        return {
+        new_c = {
             "d": c["d"] + jnp.int32(1),
             "dirs": c["dirs"],
-            "stack": adj["stack"],
             "prop_q": prop_q,
             "prop_ld": prop_ld,
             "prop_grad": prop_grad,
             "prop_pi": prop_pi,
             **upd,
         }
+        if not ref_mode:
+            new_c["stack"] = adj["stack"]
+        return new_c
 
     init = {
         "d": jnp.int32(0),
         "dirs": directions,
-        "stack": (
-            tuple(jnp.zeros((S, C, K), dtype) for _ in range(tau_len))
-            if scratch is None
-            else tuple(scratch)
-        ),
         "z_minus": z0,
         "z_plus": z0,
         "i_minus": jnp.zeros((C,), jnp.int32),
@@ -624,6 +689,12 @@ def sample_tree_batched(
         "term_left": jnp.ones((C,), jnp.int32),
         "term_right": jnp.zeros((C,), jnp.int32),
     }
+    if not ref_mode:
+        init["stack"] = (
+            tuple(jnp.zeros((S, C, K), dtype) for _ in range(tau_len))
+            if scratch is None
+            else tuple(scratch)
+        )
     out = jax.lax.while_loop(cond, body, init)
 
     return _finish_transition(out, directions, C, scratch)
