@@ -87,10 +87,17 @@ def _stages(metric_kind: str, warm: bool):
 
 def _model(dim: int, fused: bool):
     """BENCH_MODEL: 'gaussian' (default; BASELINE configs 2/5),
-    'stdnormal' (config 1: standard MVN, pair with BENCH_METRIC=diagonal), or
+    'stdnormal' (config 1: standard MVN, pair with BENCH_METRIC=diagonal),
     'logreg' (config 3: n_obs=1000 synthetic logistic regression, AD
-    gradient through the likelihood matmul)."""
+    gradient through the likelihood matmul), or 'funnel' (config 4: Neal's
+    funnel, sigma_v=3 — pair with BENCH_METRIC=diagonal; the row reports
+    wall/ESS alongside the correctness gates in
+    tests/test_sample_correctness.py)."""
     name = os.environ.get("BENCH_MODEL", "gaussian")
+    if name == "funnel":
+        from dynamichmc_tpu.models import funnel
+
+        return funnel(dim, dtype=jnp.float32)
     if name == "logreg":
         from dynamichmc_tpu.models import logistic_regression
 
@@ -302,6 +309,7 @@ def main():
                     + {
                         "logreg": f"logreg{dim}d_",
                         "stdnormal": f"{dim}d_std_normal_",
+                        "funnel": f"funnel{dim}d_",
                     }.get(
                         os.environ.get("BENCH_MODEL", "gaussian"),
                         f"{dim}d_corr_gaussian_",

@@ -213,12 +213,21 @@ def _mcmc_keep_warmup_fast(
     run_key, ld, n_samples, initial_state, warmup_stages, schedule, algorithm,
     collect_warmup_positions: bool,
     log=None,
+    step_reporter=None,
 ):
     """Keep-warmup through the fast engine: one collecting tree program for
     all stages (runtime trip count + masking), dispatched in watchdog-safe
     chunks — compiles in seconds where the scan-based path inlines one tree
     program per stage, and never exceeds the TPU single-dispatch budget.
-    ``log`` (``stage_log(reporter)``) emits stage-boundary progress."""
+    ``log`` (``stage_log(reporter)``) emits stage-boundary progress.
+
+    ``step_reporter``: a step-callback reporter (LogProgressReport /
+    TqdmProgressReport) replayed at DISPATCH boundaries — each chunk
+    completion issues one ``report_step`` with the last finished step, so
+    throttled progress lines / tqdm bars advance with correct steps/sec and
+    ETA arithmetic (reporting.jl:118-136 semantics at chunk granularity;
+    steps physically complete in chunks on this backend, so finer callbacks
+    could only lie about timing)."""
     from .engine import _retry_dispatch, promote_metric, welford_zero
     from .stepsize import InitialStepsizeSearch
     from .warmup import WarmupState
@@ -251,6 +260,9 @@ def _mcmc_keep_warmup_fast(
         # fail fast: this is the interactive inspection path, so the host
         # sync is cheap relative to running a whole warmup at a garbage eps
         _check_stepsize_search([(None, search_results, None)])
+        if log is not None:
+            # reference parity message (mcmc.jl via stepsize search logging)
+            log(f"found initial stepsize eps={float(np.asarray(eps)):.4g}")
     elif eps is None:
         raise DynamicHMCError("no stepsize: provide eps or a search stage")
     eps = strong(eps)
@@ -261,6 +273,10 @@ def _mcmc_keep_warmup_fast(
         if log is not None:
             log(f"warmup block {i + 1}/{len(schedule.block_sizes)} "
                 f"({n} steps)")
+        stage_rep = (
+            step_reporter.make_stage_reporter(n, currently_warmup=True)
+            if step_reporter is not None else None
+        )
         stage_key = key_fold(i + 1)
         da = strong(adaptation.init(eps))
         wf = welford_zero(Q, programs.dense_welford)
@@ -277,6 +293,8 @@ def _mcmc_keep_warmup_fast(
             Q, da, wf, ys = _retry_dispatch(
                 run_collect, log=log, what="keep-warmup dispatch"
             )
+            if stage_rep is not None:
+                stage_rep.report_step(min(start + chunk, n) - 1)
             if not collect_warmup_positions:
                 # don't ship positions through the assembly just to drop them
                 ys = {k: v for k, v in ys.items() if k != "positions"}
@@ -319,6 +337,10 @@ def _mcmc_keep_warmup_fast(
     # sampling: fixed-size chunks (same key/fold convention as engine.execute)
     if log is not None:
         log(f"sampling {n_samples} draws")
+    sample_rep = (
+        step_reporter.make_stage_reporter(n_samples, currently_warmup=False)
+        if step_reporter is not None and n_samples > 0 else None
+    )
     sample_key = key_fold(len(schedule.block_sizes) + 1)
     n_chunks = -(-n_samples // programs.sample_chunk)
     pieces = []
@@ -334,6 +356,10 @@ def _mcmc_keep_warmup_fast(
         Q, qs, lds, stats = _retry_dispatch(
             run_sample, log=log, what="keep-warmup sampling dispatch"
         )
+        if sample_rep is not None:
+            sample_rep.report_step(
+                min((c + 1) * programs.sample_chunk, n_samples) - 1
+            )
         pieces.append((qs, lds, stats))
 
     if n_chunks == 0:  # warmup-only inspection (n_samples == 0)
@@ -389,6 +415,7 @@ def mcmc_keep_warmup(
     dtype=jnp.float32,
     collect_warmup_positions: bool = True,
     reporter=None,
+    inline_reporting: bool = False,
 ):
     """Warmup + sampling, returning every intermediate warmup state
     (mcmc.jl:521-532).
@@ -396,19 +423,20 @@ def mcmc_keep_warmup(
     Returns a dict with ``initial_warmup_state``, ``warmup`` (list of
     (stage, results, state-after) triples), ``final_warmup_state`` and
     ``inference``.
+
+    Step-callback reporters (LogProgressReport / TqdmProgressReport) run on
+    the fast engine by default, with ``report_step`` replayed at dispatch
+    boundaries (steps physically complete in chunks on this backend).
+    ``inline_reporting=True`` restores true per-step host callbacks via the
+    scan path — exact reporting.jl:62-136 cadence, but it inlines one tree
+    program per stage (minutes of XLA compile) and is watchdog-UNSAFE on
+    the TPU; intended for CPU debugging only.
     """
     from .engine import WarmupSchedule
     from .reporting import NoProgressReport, default_reporter
 
     if warmup_stages is None:
         warmup_stages = default_warmup_stages()
-    # A default-injected reporter (reporter=None resolving interactively to
-    # LogProgressReport) must NOT deselect the fast TPU-safe path: its
-    # wants_step_callbacks would route through the per-stage-inlined scan
-    # path (minutes of XLA compile, watchdog-unsafe). Mirror
-    # mcmc_with_warmup: default-injected reporters get stage-boundary
-    # progress via ``stage_log``; only an EXPLICITLY passed step-callback
-    # reporter selects the callback path.
     from .reporting import stage_log
 
     default_injected = reporter is None
@@ -419,15 +447,16 @@ def mcmc_keep_warmup(
         init_key, ld, dtype=dtype, **initialization
     )
     schedule = WarmupSchedule.from_stages(tuple(warmup_stages))
-    if schedule is not None and (
-        default_injected or not reporter.wants_step_callbacks
-    ):
+    wants_steps = (not default_injected) and reporter.wants_step_callbacks
+    if schedule is not None and not (inline_reporting and wants_steps):
         # fast engine with per-step history collection: TPU-safe (chunked
-        # dispatches, one tree compilation for all stages)
+        # dispatches, one tree compilation for all stages); explicit
+        # step-callback reporters get dispatch-boundary report_step replay
         history, final_state, inference = _mcmc_keep_warmup_fast(
             run_key, ld, n_samples, initial_state, tuple(warmup_stages),
             schedule, algorithm, collect_warmup_positions,
             log=stage_log(reporter),
+            step_reporter=reporter if wants_steps else None,
         )
         _check_stepsize_search(history)
         return {
@@ -517,17 +546,21 @@ def mcmc_with_warmup(
     algorithm: NUTS = NUTS(),
     dtype=jnp.float32,
     reporter=None,
+    inline_reporting: bool = False,
 ) -> MCMCResult:
     """NUTS with warmup (mcmc.jl:575-584): returns draws, per-draw tree
     statistics, log densities, and the adapted metric + stepsize.
 
     When the stage tuple is expressible as a normalized schedule (the default
-    and fixed-stepsize schedules are) and no explicit step-callback reporter
-    is set, runs through the fast engine: one tree-program compilation for the
-    whole warmup, chunked into watchdog-safe dispatches. ``reporter=None``
-    means ``default_reporter()`` (interactive sessions get stage-boundary
-    progress logging, non-interactive are silent, reporting.jl:184-190); an
-    explicit reporter with step callbacks selects the scan-based path.
+    and fixed-stepsize schedules are), runs through the fast engine: one
+    tree-program compilation for the whole warmup, chunked into
+    watchdog-safe dispatches. ``reporter=None`` means ``default_reporter()``
+    (interactive sessions get stage-boundary progress logging,
+    non-interactive are silent, reporting.jl:184-190). An explicit
+    step-callback reporter also runs fast, with ``report_step`` replayed at
+    dispatch boundaries; ``inline_reporting=True`` selects the scan-based
+    path with true per-step host callbacks (CPU debugging only — inlines
+    one tree program per stage and is watchdog-unsafe on the TPU).
     """
     from .engine import WarmupSchedule, execute
     from .reporting import default_reporter, stage_log
@@ -538,9 +571,8 @@ def mcmc_with_warmup(
 
     stages = tuple(warmup_stages) if warmup_stages is not None else default_warmup_stages()
     schedule = WarmupSchedule.from_stages(stages)
-    if schedule is not None and (
-        default_injected or not reporter.wants_step_callbacks
-    ):
+    wants_steps = (not default_injected) and reporter.wants_step_callbacks
+    if schedule is not None and not wants_steps:
         init_key, run_key = jax.random.split(jnp.asarray(key))
         state = initialize_warmup_state(init_key, ld, dtype=dtype, **initialization)
         programs = _fast_single_programs(ld, algorithm, schedule)
@@ -570,6 +602,7 @@ def mcmc_with_warmup(
         dtype=dtype,
         collect_warmup_positions=False,
         reporter=reporter,
+        inline_reporting=inline_reporting,
     )
     inference = out["inference"]
     final = out["final_warmup_state"]

@@ -93,3 +93,57 @@ def test_chunk_boundary_rate_and_eta():
     text = "\n".join(messages)
     assert "steps/s" in text and "s left" in text  # warmup chunks
     assert "draws/s" in text  # sampling chunks
+
+
+class _RecordingReporter:
+    """Step-callback reporter that records every report_step call."""
+
+    def __init__(self):
+        self.steps = []
+        self.stages = []
+
+    def report_message(self, message: str, **meta):
+        pass
+
+    def make_stage_reporter(self, total_steps: int, currently_warmup: bool,
+                            **meta):
+        self.stages.append((total_steps, currently_warmup))
+        return self
+
+    def report_step(self, step: int, **meta):
+        self.steps.append(step)
+
+    @property
+    def wants_step_callbacks(self) -> bool:
+        return True
+
+
+def test_step_reporter_routes_fast_with_dispatch_replay():
+    """An explicit step-callback reporter no longer selects the per-stage-
+    inlined scan path: it runs on the fast engine with report_step replayed
+    at dispatch boundaries — each stage's final replayed step is its last
+    step index, and a sampling stage reporter is created too."""
+    rep = _RecordingReporter()
+    mcmc_with_warmup(
+        jax.random.PRNGKey(5), LD, 16, dtype=jnp.float64,
+        warmup_stages=STAGES, reporter=rep,
+    )
+    # one warmup block (N=20) + sampling (16 draws)
+    assert (20, True) in rep.stages
+    assert (16, False) in rep.stages
+    assert 19 in rep.steps  # last warmup step replayed
+    assert 15 in rep.steps  # last sampling step replayed
+    assert all(0 <= s < 20 for s in rep.steps)
+
+
+def test_inline_reporting_optin_keeps_per_step_callbacks():
+    """inline_reporting=True restores the scan path's true per-step host
+    callbacks (CPU debugging contract)."""
+    rep = _RecordingReporter()
+    mcmc_with_warmup(
+        jax.random.PRNGKey(6), LD, 8, dtype=jnp.float64,
+        warmup_stages=STAGES, reporter=rep, inline_reporting=True,
+    )
+    warmup_steps = [s for s in rep.steps]
+    # per-step callbacks: every index of the 20-step block appears
+    assert set(range(20)).issubset(set(warmup_steps))
