@@ -180,7 +180,8 @@ def _ess_rhat_device(positions, batch: int = 1):
     return {"ess_bulk": ess_b, "ess_tail": ess_t, "rhat": rh}
 
 
-def ess_rhat_device(positions, batch: int = 1) -> dict:
+def ess_rhat_device(positions, batch: int = 1,
+                    param_chunk: int = 0) -> dict:
     """Per-parameter bulk/tail ESS and R-hat, computed ON DEVICE.
 
     ``positions``: (chains, draws, params) array (device or host); returns a
@@ -188,11 +189,29 @@ def ess_rhat_device(positions, batch: int = 1) -> dict:
     same contract as :func:`stats.ess_rhat`, which remains the host oracle.
     Parameters are processed ``batch`` at a time (``lax.map`` batch_size) to
     bound the FFT/sort scratch memory at large chain counts.
+
+    ``param_chunk``: parameters per DEVICE DISPATCH (host-side loop). The
+    TPU runtime kills single dispatches running past ~a minute; a whole-K
+    dispatch at 16384x512x100 crossed it (measured: worker crash). 0 picks
+    a safe chunk from the series size (~17M chain-draw elements per
+    dispatch); pass a value to override, or K to force one dispatch.
     """
     positions = jnp.asarray(positions)
     if positions.ndim == 2:
         positions = positions[None]
-    return _ess_rhat_device(positions, batch=int(batch))
+    k = positions.shape[-1]
+    if param_chunk <= 0:
+        cn = positions.shape[0] * positions.shape[1]
+        param_chunk = max(1, min(k, (1 << 24) // max(cn, 1)))
+    if param_chunk >= k:
+        return _ess_rhat_device(positions, batch=int(batch))
+    parts = [
+        _ess_rhat_device(positions[..., lo:lo + param_chunk], batch=int(batch))
+        for lo in range(0, k, param_chunk)
+    ]
+    return {
+        key: jnp.concatenate([p[key] for p in parts]) for key in parts[0]
+    }
 
 
 def ess_bulk_device(x):

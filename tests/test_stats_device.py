@@ -111,3 +111,18 @@ def test_parity_mcmc_output():
         dtype=jnp.float64,
     )
     _assert_parity(np.asarray(res.positions, np.float64))
+
+
+def test_param_chunked_matches_single_dispatch():
+    """Host-side param chunking (watchdog-safe large-fleet path) is a pure
+    dispatch decomposition: identical results to the whole-K program,
+    including a ragged final chunk."""
+    x = _ar1(0.5, 8, 64, 7, seed=9)
+    full = ess_rhat_device(jnp.asarray(x), param_chunk=7)
+    chunked = ess_rhat_device(jnp.asarray(x), param_chunk=3)  # 3+3+1
+    auto = ess_rhat_device(jnp.asarray(x))  # heuristic: whole-K here
+    for key in ("ess_bulk", "ess_tail", "rhat"):
+        np.testing.assert_array_equal(np.asarray(full[key]),
+                                      np.asarray(chunked[key]))
+        np.testing.assert_array_equal(np.asarray(full[key]),
+                                      np.asarray(auto[key]))
