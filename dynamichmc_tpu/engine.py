@@ -1173,11 +1173,15 @@ def execute(
         while True:
             t0 = _time.perf_counter()
 
-            def run_epoch(carry_in=carry, g_stop=g_prev + ep_budget):
+            def run_epoch(carry_in=carry):
+                # read ep_budget at CALL time: halve_epoch shrinks it
+                # between watchdog retries, and a def-time g_stop default
+                # would redispatch the identical killed size
                 nonlocal t0
                 t0 = _time.perf_counter()
                 out = programs.sample_epoch(
-                    sample_key, metric, eps, carry_in, jnp.int32(g_stop)
+                    sample_key, metric, eps, carry_in,
+                    jnp.int32(g_prev + ep_budget)
                 )
                 jax.block_until_ready(out[1])
                 return out

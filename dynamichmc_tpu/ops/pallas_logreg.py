@@ -146,7 +146,11 @@ def make_logreg_fused_leaf_batched(
 
     def fused(metric, q, p, g, eps_signed):
         dense = isinstance(metric, DenseMetric)
-        if q.dtype != jnp.float32:
+        # pure-JAX fallback (same poisoning semantics) for configurations
+        # the kernel doesn't cover: f64 QA runs, and PER-CHAIN dense
+        # metrics — a (C, K, K) m_inv doesn't fit the single shared VMEM
+        # block (mirrors the non-diagonal fallback in ops/pallas_leaf.py)
+        if q.dtype != jnp.float32 or (dense and metric.m_inv.ndim == 3):
             from ..logdensity import LogDensity
             from ..tree_batched import _Edge, _joint_b, _leapfrog_b as _lf
 

@@ -205,10 +205,23 @@ def ess_rhat_device(positions, batch: int = 1,
         param_chunk = max(1, min(k, (1 << 24) // max(cn, 1)))
     if param_chunk >= k:
         return _ess_rhat_device(positions, batch=int(batch))
-    parts = [
-        _ess_rhat_device(positions[..., lo:lo + param_chunk], batch=int(batch))
-        for lo in range(0, k, param_chunk)
-    ]
+    # every dispatch must share ONE shape — a ragged final slice would
+    # compile the jitted program a SECOND time (minutes through the
+    # tunnel). When the chunk doesn't divide K, the last window slides
+    # back to end exactly at K (same width, params overlap the previous
+    # window) and only its fresh tail is kept: per-parameter outputs are
+    # independent, so the overlap entries are identical recomputation.
+    parts = []
+    for lo in range(0, k, param_chunk):
+        start, keep = lo, min(param_chunk, k - lo)
+        if keep < param_chunk:
+            start = k - param_chunk
+        out = _ess_rhat_device(
+            positions[..., start:start + param_chunk], batch=int(batch)
+        )
+        if keep < param_chunk:
+            out = {key: v[param_chunk - keep:] for key, v in out.items()}
+        parts.append(out)
     return {
         key: jnp.concatenate([p[key] for p in parts]) for key in parts[0]
     }

@@ -331,7 +331,7 @@ def make_epoch_sampling_driver(
                 ring_ld = jnp.where(m, c["Q"].logdensity[None], c["ring_ld"])
                 rec = jnp.where(can_rec, c["rec"] + 1, c["rec"])
 
-                # --- flush: up to 2 rows whose draw every lane has passed ---
+                # --- flush: ONE row whose draw every lane has passed --------
                 min_rec = jnp.min(rec)
                 flushed = c["flushed"]
                 outs = {

@@ -155,3 +155,20 @@ def test_fused_transition_statistics_match(models):
     np.testing.assert_allclose(qa.mean(0), qb.mean(0), atol=0.15)
     np.testing.assert_allclose(qa.std(0), qb.std(0), rtol=0.2, atol=0.05)
     assert abs(acca.mean() - accb.mean()) < 0.05
+
+
+def test_per_chain_dense_falls_back(models):
+    """A per-chain (C, K, K) dense metric — the default per-chain dense
+    adaptation — must route to the pure-JAX fallback instead of crashing at
+    trace time (round-4 review finding), and match the oracle exactly."""
+    plain, fused = models
+    rng = np.random.RandomState(8)
+    ms = []
+    for _ in range(C):
+        a = rng.randn(K, K)
+        ms.append(a @ a.T + K * np.eye(K))
+    metric = jax.vmap(dense_metric)(jnp.asarray(np.stack(ms), jnp.float32))
+    q, p, eps = _operands(9)
+    g, ref = _oracle_leaf(plain, metric, q, p, eps)
+    out = fused.fused_leaf_batched_fn(metric, q, p, g, eps)
+    _check(out, ref, rtol=1e-4, atol=1e-4)

@@ -222,3 +222,46 @@ def test_retry_budget_is_per_dispatch():
     clean = _run()
     injected = _run(flake={"warmup_mono": {1, 3, 5, 7, 9}})
     assert_identical(clean, injected)
+
+
+@pytest.mark.slow
+def test_epoch_sampling_retry_halves_budget():
+    """The epoch sampling loop recovers from a watchdog kill AND the retried
+    dispatch actually runs with the HALVED slot budget: run_epoch must read
+    ep_budget at call time (a def-time g_stop default redispatched the
+    identical killed size — round-4 review finding)."""
+    from dynamichmc_tpu.parallel import chains as pchains
+
+    clean = _run(sampling_driver="epoch")
+
+    orig = pchains._fast_programs_batched
+    seen = {"g_stops": [], "fail_at": 1, "n": -1}
+
+    def patched(*args, **kw):
+        programs = orig(*args, **kw)
+        inner = programs.sample_epoch
+
+        def recording(key, metric, eps, carry, g_stop):
+            seen["n"] += 1
+            # call 0 is the untimed warm/compile dispatch (g_stop == 0)
+            if seen["n"] >= 1:
+                seen["g_stops"].append(int(g_stop))
+                if seen["n"] == seen["fail_at"]:
+                    raise jax.errors.JaxRuntimeError(
+                        "UNAVAILABLE: TPU worker crashed (injected fault)"
+                    )
+            return inner(key, metric, eps, carry, g_stop)
+
+        return programs._replace(sample_epoch=recording)
+
+    pchains.__dict__["_fast_programs_batched"] = patched
+    try:
+        injected = _run(sampling_driver="epoch")
+    finally:
+        pchains.__dict__["_fast_programs_batched"] = orig
+
+    assert_identical(clean, injected)
+    # the first real dispatch was killed; its retry must request FEWER
+    # global slots than the killed dispatch did
+    assert len(seen["g_stops"]) >= 2
+    assert seen["g_stops"][1] < seen["g_stops"][0]
