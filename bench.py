@@ -139,12 +139,10 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     # warmup (~270 slots/step measured); clamping the transient's head cut
     # the headline wall 3.49 -> 2.50 s at IDENTICAL total ESS and zero
     # divergences — the unclamped tail still re-adapts eps before sampling.
-    # tail clamp is a monolithic-(sync-)driver feature; the wavefront warmup
-    # applies the clamp per block only
+    # both drivers honor it (round 4): the wavefront applies it per lane
+    # via the tail_steps runtime operand
     clamp_tail = (
-        int(os.environ.get("BENCH_CLAMP_TAIL", "25"))
-        if clamp and driver == "sync"
-        else 0
+        int(os.environ.get("BENCH_CLAMP_TAIL", "25")) if clamp else 0
     )
     # BENCH_MAX_DEPTH (0 = reference default 10): cap the sampler's tree
     # depth outright — max_depth is an ordinary NUTS parameter (any cap is a

@@ -712,7 +712,7 @@ def execute(
                 continue
             _, warm_done = wfront_fn(
                 key_fold(0), metric, carry0, jnp.int32(0), jnp.int32(0),
-                jnp.int32(0),
+                jnp.int32(0), jnp.int32(-1),
             )
             jax.block_until_ready(warm_done)
     else:
@@ -881,15 +881,20 @@ def execute(
             if not schedule.update_metric[i] and programs.stage_wavefront_nowf is not None:
                 wf_fn = programs.stage_wavefront_nowf
             # warmup depth clamp: active through every block but the last
-            # (WarmupSchedule.depth_clamp semantics; 0 = unclamped)
-            dl_block = jnp.int32(
-                schedule.depth_clamp
-                if (
-                    schedule.depth_clamp is not None
-                    and i < len(schedule.block_sizes) - 1
-                )
-                else 0
-            )
+            # (WarmupSchedule.depth_clamp semantics; 0 = unclamped). On the
+            # final block, depth_clamp_tail > 0 clamps each lane's first
+            # `tail` transitions only (per-lane DA-restart tail clamp —
+            # tree_wavefront.stage's tail_steps operand)
+            last_block = i == len(schedule.block_sizes) - 1
+            if schedule.depth_clamp is not None and not last_block:
+                dl_block = jnp.int32(schedule.depth_clamp)
+                tail_block = jnp.int32(-1)
+            elif schedule.depth_clamp is not None and schedule.depth_clamp_tail:
+                dl_block = jnp.int32(schedule.depth_clamp)
+                tail_block = jnp.int32(schedule.depth_clamp_tail)
+            else:
+                dl_block = jnp.int32(0)
+                tail_block = jnp.int32(-1)
             carry = programs.wavefront_init(Q, metric, da, wf)
             import numpy as _np
 
@@ -909,7 +914,7 @@ def execute(
                     t0 = _time.perf_counter()
                     out = wf_fn(
                         stage_key, metric, carry_in, jnp.int32(n),
-                        jnp.int32(g_min + wf_budget), dl_block,
+                        jnp.int32(g_min + wf_budget), dl_block, tail_block,
                     )
                     jax.block_until_ready(out[1])
                     return out

@@ -305,14 +305,10 @@ def run_chains(
             )
         import dataclasses as _dc
 
-        if warmup_depth_clamp_tail and warmup_driver == "wavefront":
-            # the wavefront warmup applies the clamp per BLOCK (a scalar
-            # depth_limit operand per dispatch); a within-block split would
-            # need a per-lane release step inside the device-divergent loop
-            raise NotImplementedError(
-                "warmup_depth_clamp_tail requires the sync (monolithic) "
-                "warmup driver"
-            )
+        # the wavefront warmup honors the tail clamp per LANE: the final
+        # block's first `tail` transitions of each lane run clamped via the
+        # tail_steps runtime operand (tree_wavefront.stage), the per-lane
+        # analogue of the monolithic driver's lockstep tail clamp
         schedule = _dc.replace(
             schedule,
             depth_clamp=warmup_depth_clamp,
@@ -754,7 +750,7 @@ def _fast_programs_batched_cached(
                 inner_wf = fn
 
                 def fn_wavefront(key, metric, carry, n_steps, g_stop,
-                                 depth_limit):
+                                 depth_limit, tail_steps):
                     key = jax.random.fold_in(
                         key, jax.lax.axis_index(CHAIN_AXIS)
                     )
@@ -764,7 +760,8 @@ def _fast_programs_batched_cached(
                     if pooled:
                         c["wf"] = peel(c["wf"])
                     out, done = inner_wf(
-                        key, metric, c, n_steps, g_stop, depth_limit
+                        key, metric, c, n_steps, g_stop, depth_limit,
+                        tail_steps,
                     )
                     out = dict(out)
                     for k in dev_keys:
@@ -776,7 +773,8 @@ def _fast_programs_batched_cached(
                 f = jax.shard_map(
                     fn_wavefront,
                     mesh=mesh,
-                    in_specs=(P(), metric_spec, carry_specs, P(), P(), P()),
+                    in_specs=(P(), metric_spec, carry_specs, P(), P(), P(),
+                              P()),
                     out_specs=(carry_specs, P(CHAIN_AXIS)),
                     check_vma=False,
                 )

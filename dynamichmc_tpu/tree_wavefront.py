@@ -291,11 +291,21 @@ def make_wavefront_stage_driver(
         def wf_update(wf, _x, _mask):
             return wf
 
-    def stage(key, metric: Metric, carry, n_steps, g_stop, depth_limit=None):
+    def stage(key, metric: Metric, carry, n_steps, g_stop, depth_limit=None,
+              tail_steps=None):
         """``depth_limit`` (optional runtime scalar): cap doublings below the
         static ``max_depth`` for every transition of this stage — the warmup
         depth clamp (tree_batched.sample_tree_batched semantics; <= 0 means
-        unclamped). Each capped transition is still a valid NUTS kernel."""
+        unclamped). Each capped transition is still a valid NUTS kernel.
+
+        ``tail_steps`` (optional runtime scalar): when >= 0, the clamp
+        applies only to each lane's FIRST ``tail_steps`` transitions of this
+        stage (its per-lane step counter ``t``); later transitions run
+        unclamped. This is the monolithic driver's DA-restart tail clamp
+        (WarmupSchedule.depth_clamp_tail) expressed per lane — the lane's
+        ``t`` is frozen for the whole transition (it increments at
+        completion), so the limit never changes mid-tree. ``None`` or < 0 =
+        clamp the whole stage (the pre-round-4 behavior)."""
         if depth_limit is None:
             dl = jnp.int32(max_depth)
         else:
@@ -498,7 +508,14 @@ def make_wavefront_stage_driver(
                 jnp.where(keep, new, old) for old, new in zip(tau, tau_c)
             )
             d = jnp.where(tree_done, d + 1, d)
-            hit_max = tree_done & ~turning_tr & (d >= dl)
+            if tail_steps is None:
+                dl_eff = dl
+            else:
+                ts = jnp.asarray(tail_steps, jnp.int32)
+                dl_eff = jnp.where(
+                    (ts < 0) | (c["t"] < ts), dl, jnp.int32(max_depth)
+                )
+            hit_max = tree_done & ~turning_tr & (d >= dl_eff)
 
             tr_done = invalid | turning_tr | hit_max
             waiting = waiting | (tree_done & ~turning_tr & ~hit_max)

@@ -106,14 +106,24 @@ def test_clamp_validates_range():
         )
 
 
-def test_clamp_tail_rejects_wavefront():
-    ld, _ = _target()
-    with pytest.raises(NotImplementedError, match="sync"):
-        run_chains(
-            jax.random.PRNGKey(0), ld, 8, 16, dtype=jnp.float64,
-            warmup_depth_clamp=3, warmup_depth_clamp_tail=10,
-            warmup_driver="wavefront",
-        )
+@pytest.mark.slow
+def test_clamp_tail_wavefront_moments():
+    """Round 4: the wavefront warmup honors the DA-restart tail clamp too
+    (per-lane ``tail_steps`` operand — each lane's first `tail` transitions
+    of the final block run clamped, the rest re-adapt unclamped)."""
+    ld, cov = _target()
+    stages = default_warmup_stages(metric_kind="dense")
+    res = run_chains(
+        jax.random.PRNGKey(12), ld, 24, 400, dtype=jnp.float64,
+        warmup_stages=stages, warmup_depth_clamp=3,
+        warmup_depth_clamp_tail=25, warmup_driver="wavefront",
+    )
+    qs = np.asarray(res.positions).reshape(-1, 5)
+    assert np.abs(qs.std(0) / np.sqrt(np.diag(cov)) - 1).max() < 0.08
+    assert np.abs(qs.mean(0) / np.sqrt(np.diag(cov))).max() < 0.08
+    assert int(np.asarray(res.tree_statistics.is_divergent).sum()) == 0
+    eps = np.asarray(res.eps)
+    assert (eps > 0.05).all() and (eps < 5).all()
 
 
 def test_clamp_tail_requires_clamp():

@@ -59,7 +59,7 @@ def draw_wavefront_noise(seed, T, max_depth, K, metric, C):
 
 
 def run_wavefront(model, metric, q0, eps, T, max_depth, nz: WavefrontNoise,
-                  depth_limit=None):
+                  depth_limit=None, tail_steps=None):
     """T transitions per lane through the wavefront driver; returns the final
     carry (aggregates + final positions)."""
     C = q0.shape[0]
@@ -72,32 +72,46 @@ def run_wavefront(model, metric, q0, eps, T, max_depth, nz: WavefrontNoise,
     da0 = adaptation.init(jnp.full((C,), eps, Q0.q.dtype))
     carry = wavefront_init(Q0, metric, da0, jnp.zeros(()), max_depth)
     dl = None if depth_limit is None else jnp.int32(depth_limit)
+    ts = None if tail_steps is None else jnp.int32(tail_steps)
     out, all_done = jax.jit(
-        lambda c: stage(KEY, metric, c, jnp.int32(T), jnp.int32(10**9), dl)
+        lambda c: stage(KEY, metric, c, jnp.int32(T), jnp.int32(10**9), dl,
+                        ts)
     )(carry)
     assert bool(all_done)
     return out
 
 
 def run_batched_reference(model, metric, q0, eps, T, max_depth, nz,
-                          depth_limit=None):
-    """The same T transitions through the batch-native driver (chained)."""
+                          depth_limit=None, depth_limit_seq=None):
+    """The same T transitions through the batch-native driver (chained).
+
+    ``depth_limit_seq``: optional (T,) int32 per-transition depth limits
+    (0 = unclamped) — the reference for the wavefront TAIL clamp, whose
+    per-lane limit flips at the lane's step counter."""
     algo = NUTS(max_depth=max_depth)
     C = q0.shape[0]
     Q0 = jax.vmap(lambda q: evaluate(model, q))(q0)
-    dl = None if depth_limit is None else jnp.int32(depth_limit)
+    if depth_limit_seq is not None:
+        dl_seq = jnp.asarray(depth_limit_seq, jnp.int32)
+    else:
+        dl_scalar = (
+            jnp.int32(0) if depth_limit is None else jnp.int32(depth_limit)
+        )
+        dl_seq = jnp.full((T,), dl_scalar, jnp.int32)
 
     def step(Q, inp):
-        p_t, d_t, g_t, e_t = inp
+        p_t, d_t, g_t, e_t, dl_t = inp
         Qn, stats = sample_tree_batched(
             KEY, algo, model, metric, Q,
             jnp.full((C,), eps, Q.q.dtype),
             directions=d_t, p=p_t, noise=TreeNoise(g_t, e_t),
-            depth_limit=dl,
+            depth_limit=dl_t,
         )
         return Qn, stats
 
-    Qf, stats = jax.lax.scan(step, Q0, (nz.p, nz.dirs, nz.gumbel, nz.expo))
+    Qf, stats = jax.lax.scan(
+        step, Q0, (nz.p, nz.dirs, nz.gumbel, nz.expo, dl_seq)
+    )
     return Qf, stats
 
 
@@ -196,6 +210,46 @@ def test_wavefront_clamped_equals_batched_c1(depth_limit, eps):
     # the clamp must actually bind in this regime, and cap the step totals
     assert int(np.asarray(wf["maxd"])[0]) > 0
     assert int(np.asarray(stats.depth).max()) <= depth_limit
+
+
+def test_wavefront_tail_clamp_equals_batched_c1():
+    """Round 4: the per-lane TAIL clamp (stage ``tail_steps`` operand —
+    clamp only each lane's first `tail` transitions) must match the
+    batch-native driver run with the equivalent per-transition
+    depth-limit sequence draw-for-draw."""
+    T, max_depth, clamp, tail = 48, 6, 2, 20
+    eps = 0.3  # small enough that the clamp binds while it is active
+    model, metric, K = build_case("std4", "identity")
+    nz = draw_wavefront_noise(
+        zlib.crc32(b"wf-tail-clamp"), T, max_depth, K, metric, C=1,
+    )
+    q0 = jnp.asarray(np.random.RandomState(11).randn(1, K))
+
+    wf = run_wavefront(
+        model, metric, q0, eps, T, max_depth, nz,
+        depth_limit=clamp, tail_steps=tail,
+    )
+    dl_seq = np.where(np.arange(T) < tail, clamp, 0).astype(np.int32)
+    Qf, stats = run_batched_reference(
+        model, metric, q0, eps, T, max_depth, nz, depth_limit_seq=dl_seq
+    )
+    np.testing.assert_allclose(
+        np.asarray(wf["Q"].q), np.asarray(Qf.q), rtol=1e-12, atol=1e-12,
+        err_msg="tail-clamped final q",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(wf["steps_total"]), np.asarray(stats.steps).sum(0),
+        err_msg="tail-clamped total leapfrog steps",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(wf["maxd"]),
+        np.asarray(stats.reached_max_depth).sum(0),
+        err_msg="tail-clamped max-depth count",
+    )
+    d = np.asarray(stats.depth)
+    # the clamp binds in the head and RELEASES in the tail
+    assert int(d[:tail].max()) <= clamp
+    assert int(d[tail:].max()) > clamp
 
 
 def test_wavefront_lane_isolation():
