@@ -128,7 +128,11 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     # degrades SAMPLING, 1.2 -> 2.0 s at 77% waste; see BENCH_NOTES.md).
     # Set BENCH_DEPTH_CLAMP=0 for unclamped reference-schedule semantics.
     clamp = int(os.environ.get("BENCH_DEPTH_CLAMP", "2")) or None
-    max_depth = int(os.environ.get("BENCH_MAX_DEPTH", "0"))
+    # default depth cap 4 for the well-conditioned targets (their adapted
+    # trees terminate by depth ~4); the funnel genuinely needs deep trees
+    # (depth histograms reach the cap), so its default stays uncapped.
+    _md_default = "0" if os.environ.get("BENCH_MODEL") == "funnel" else "4"
+    max_depth = int(os.environ.get("BENCH_MAX_DEPTH", _md_default))
     if clamp is not None and max_depth:
         # a swept max_depth below the default clamp would otherwise fail
         # run_chains' clamp <= max_depth validation
@@ -144,11 +148,19 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     clamp_tail = (
         int(os.environ.get("BENCH_CLAMP_TAIL", "25")) if clamp else 0
     )
-    # BENCH_MAX_DEPTH (0 = reference default 10): cap the sampler's tree
-    # depth outright — max_depth is an ordinary NUTS parameter (any cap is a
-    # valid kernel), and the sampling phase pays the same lockstep straggler
-    # tax the warmup clamp reclaimed. Sweep wall AND total ESS before
-    # adopting a value: shorter trajectories correlate draws.
+    # BENCH_MAX_DEPTH (default 4; 0 = reference default 10): cap the
+    # sampler's tree depth outright — max_depth is an ordinary NUTS
+    # parameter (any cap is a valid kernel — Stan's treedepth), and the
+    # sampling phase pays the same lockstep straggler tax the warmup clamp
+    # reclaimed. Round-4 same-session sweep on the headline config (total
+    # min ESS in parens): md=10 2.20 s (4.739M), md=6 1.90 s (4.738M),
+    # md=5 1.91 s (4.739M), md=4 1.65 s (4.732M) — the adapted dense
+    # metric terminates almost every trajectory by depth 4, so the cap
+    # only reclaims straggler slots. ESS is MEASURED on the draws, so any
+    # quality loss from truncation shows up in the metric itself;
+    # tests/test_sample_correctness.py::test_bench_kernel_semantics pins
+    # this exact kernel to the full acceptance protocol. Sweep wall AND
+    # total ESS before adopting a different value.
     algo_kw = {}
     if max_depth:
         from dynamichmc_tpu.nuts import NUTS

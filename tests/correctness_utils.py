@@ -54,7 +54,11 @@ def run_and_check(
     thresholds: Thresholds = Thresholds(),
     dtype=None,
     check_ad: bool = True,
+    **run_kwargs,
 ):
+    """Extra ``run_kwargs`` pass through to :func:`run_chains` verbatim
+    (e.g. ``algorithm=NUTS(max_depth=4)``, ``warmup_depth_clamp=2``) so
+    non-default kernel configurations face the same acceptance gates."""
     import jax.numpy as jnp
 
     dtype = dtype or jnp.float64
@@ -65,6 +69,7 @@ def run_and_check(
         n_samples=n_samples,
         warmup_stages=warmup_stages,
         dtype=dtype,
+        **run_kwargs,
     )
     positions = np.asarray(res.positions, np.float64)  # (C, N, K)
     c, n, k = positions.shape

@@ -83,6 +83,35 @@ def test_ill_conditioned_mvn(dim, condition, seed, key):
 
 
 @pytest.mark.slow
+def test_bench_kernel_semantics():
+    # The headline bench (bench.py) runs a depth-capped kernel: sampling
+    # max_depth=4 with the warmup depth clamp 2 / tail clamp 25 (round-4
+    # sweep: wall 2.20 -> 1.65 s at unchanged total min ESS). max_depth is
+    # an ordinary NUTS parameter (any cap is a valid kernel — Stan's
+    # treedepth), but truncation shortens trajectories, so this gate pins
+    # the EXACT bench kernel configuration to the full acceptance protocol
+    # (R-hat / tau / Anderson-Darling / EBFMI) on a correlated MVN of the
+    # bench's workload class.
+    rng = np.random.RandomState(42)
+    k = 8
+    a = rng.randn(k, k + 2)
+    s = a @ a.T
+    corr = s / np.sqrt(np.outer(np.diag(s), np.diag(s)))
+    d = np.abs(rng.randn(k)) + 0.05
+    cov = corr * np.outer(d, d)
+    model = mvnormal(rng.randn(k), cov)
+    run_and_check(
+        model,
+        jax.random.PRNGKey(4040),
+        "bench kernel semantics (max_depth=4, clamp 2/25)",
+        warmup_stages=default_warmup_stages(metric_kind="dense"),
+        algorithm=NUTS(max_depth=4),
+        warmup_depth_clamp=2,
+        warmup_depth_clamp_tail=25,
+    )
+
+
+@pytest.mark.slow
 def test_specific_normals():
     # sample-correctness_tests.jl:53-87 "specific normal distributions":
     # univariate huge/tiny variances (5e8 / 5e-8, with offsets) and a mildly
