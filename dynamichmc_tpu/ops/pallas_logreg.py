@@ -144,13 +144,17 @@ def make_logreg_fused_leaf_batched(
         grad = x_full.astype(qq.dtype).T @ (yv - _sigmoid(logits)) - inv_ps2 * qq
         return val, grad
 
+    # VMEM ceiling for the kernel's resident operands. A too-big design
+    # matrix fails at Mosaic compile with an opaque error; route those
+    # configurations to the pure-JAX fallback instead. ~12 MB of the
+    # ~16 MB/core leaves headroom for Mosaic's own scratch.
+    _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
     def fused(metric, q, p, g, eps_signed):
         dense = isinstance(metric, DenseMetric)
-        # pure-JAX fallback (same poisoning semantics) for configurations
-        # the kernel doesn't cover: f64 QA runs, and PER-CHAIN dense
-        # metrics — a (C, K, K) m_inv doesn't fit the single shared VMEM
-        # block (mirrors the non-diagonal fallback in ops/pallas_leaf.py)
-        if q.dtype != jnp.float32 or (dense and metric.m_inv.ndim == 3):
+
+        def _fallback():
+            # pure-JAX path, same poisoning semantics as the kernel
             from ..logdensity import LogDensity
             from ..tree_batched import _Edge, _joint_b, _leapfrog_b as _lf
 
@@ -164,8 +168,25 @@ def make_logreg_fused_leaf_batched(
                     eps_signed)
             pi = _joint_b(metric, z.ld, z.p)
             return z.q, z.p, z.grad, z.ld, pi
+
+        # configurations the kernel doesn't cover: f64 QA runs, and
+        # PER-CHAIN dense metrics — a (C, K, K) m_inv doesn't fit the
+        # single shared VMEM block (mirrors ops/pallas_leaf.py)
+        if q.dtype != jnp.float32 or (dense and metric.m_inv.ndim == 3):
+            return _fallback()
         c = q.shape[0]
         bc = min(block_c, _round_up(c, 8))
+        # VMEM residency estimate per grid step: X + X^T stay resident
+        # across both matmuls, plus the per-block (bc, kp) operands
+        # (q/p/g[/diag-metric] in, q'/p'/g' out) and the dense metric.
+        vmem_bytes = 4 * (
+            2 * np_ * kp                      # X, X^T
+            + (6 + (0 if dense else 1)) * bc * kp  # row blocks in/out
+            + (kp * kp if dense else 0)       # shared dense metric
+            + 2 * np_ + 5 * bc                # y, mask, eps, ld, pi
+        )
+        if vmem_bytes > _VMEM_BUDGET_BYTES:
+            return _fallback()
         cp = _round_up(c, bc)
 
         def pad2(arr):

@@ -62,39 +62,137 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 #  - everything else: one fresh interpreter PER FILE (<= ~18 tests/file; the
 #    parent itself compiles NOTHING). The child runs exactly the items the
 #    parent collected for that file and the parent maps per-test outcomes
-#    back from the child's short summary, so reporting granularity is
-#    unchanged. The persistent compile cache keeps per-child cost to
-#    interpreter startup + cache loads.
+#    back from a JSON-lines report the child streams per test (see
+#    pytest_runtest_logreport), so reporting granularity is unchanged and
+#    skips/param-id edge cases survive the round trip. The persistent
+#    compile cache keeps per-child cost to interpreter startup + cache loads.
 # ---------------------------------------------------------------------------
 
 _ISOLATED_FILES = ("test_sample_correctness.py",)
 _CHILD_ENV = "DYNHMC_ISOLATED_CHILD"
+_CHILD_REPORT_ENV = "DYNHMC_CHILD_REPORT"
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _isolated_runner(nodeid):
+def pytest_runtest_logreport(report):
+    """Child side: stream machine-readable per-test outcomes to the parent.
+
+    The parent maps per-test results from these JSON lines (NOT from the
+    terminal short summary, whose SKIPPED lines carry file:line rather than
+    nodeids and whose FAILED lines are ambiguous for ' - ' in param ids).
+    """
+    if os.environ.get(_CHILD_ENV) != "1":
+        return
+    path = os.environ.get(_CHILD_REPORT_ENV)
+    if not path:
+        return
+    # Record the call phase always, plus any non-passed setup/teardown
+    # (setup errors, fixture/marker skips). The parent keeps the worst.
+    if report.when != "call" and report.outcome == "passed":
+        return
+    import json
+
+    msg = ""
+    if report.outcome != "passed":
+        msg = str(getattr(report, "longrepr", ""))[-4000:]
+    with open(path, "a") as f:
+        f.write(json.dumps({
+            "nodeid": report.nodeid,
+            "when": report.when,
+            "outcome": report.outcome,
+            "msg": msg,
+        }) + "\n")
+
+
+def _run_child(nodeids, timeout=2400):
+    """Run the given nodeids in a fresh interpreter; map per-test outcomes.
+
+    Returns {nodeid: (status, detail)} with status in
+    passed|failed|error|skipped. Items with no child report (child crash,
+    timeout) map to error — never silently to passed.
+    """
+    import json
     import subprocess
+    import tempfile
 
-    def run(**_fixtures):
-        import pytest
-
-        env = dict(os.environ, **{_CHILD_ENV: "1"})
-        proc = subprocess.run(
-            [sys.executable, "-m", "pytest", "-q", "-x", nodeid,
-             "-p", "no:cacheprovider"],
-            cwd=_REPO_ROOT,
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=2400,
-        )
-        if proc.returncode != 0:
-            pytest.fail(
-                f"isolated child run of {nodeid} failed "
-                f"(exit {proc.returncode}):\n"
-                f"{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}",
-                pytrace=False,
+    fd, report_path = tempfile.mkstemp(prefix="dynhmc_child_", suffix=".jsonl")
+    os.close(fd)
+    env = dict(os.environ, **{_CHILD_ENV: "1", _CHILD_REPORT_ENV: report_path})
+    try:
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "pytest", "-q", "--tb=long",
+                 "-p", "no:cacheprovider", *nodeids],
+                cwd=_REPO_ROOT,
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=timeout,
             )
+            out, err, code = proc.stdout, proc.stderr, proc.returncode
+        except subprocess.TimeoutExpired as exc:
+            out = (exc.stdout or b"").decode(errors="replace") if isinstance(
+                exc.stdout, bytes) else (exc.stdout or "")
+            err = f"child timed out after {timeout}s"
+            code = -1
+        records = {}
+        try:
+            with open(report_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    records.setdefault(rec["nodeid"], []).append(rec)
+        except OSError:
+            pass
+    finally:
+        try:
+            os.unlink(report_path)
+        except OSError:
+            pass
+
+    results = {}
+    crash_tail = f"(exit {code})\n{out[-3000:]}\n{err[-2000:]}"
+    for n in nodeids:
+        recs = records.get(n)
+        if not recs:
+            results[n] = ("error", f"no report from child {crash_tail}")
+            continue
+        failed = [r for r in recs if r["outcome"] == "failed"]
+        skipped = [r for r in recs if r["outcome"] == "skipped"]
+        if failed:
+            r = failed[0]
+            status = "failed" if r["when"] == "call" else "error"
+            results[n] = (status, f"child {r['when']} {r['outcome']}:\n"
+                                  f"{r['msg']}")
+        elif skipped:
+            results[n] = ("skipped", skipped[0]["msg"])
+        else:
+            results[n] = ("passed", "")
+    if code not in (0, 1, 5) and all(
+            s == "passed" for s, _ in results.values()):
+        # child crashed after all tests "passed" (e.g. the jaxlib teardown
+        # segfault this isolation exists for) — surface it, don't mask it.
+        for n in nodeids:
+            results[n] = ("error", f"child crashed post-run {crash_tail}")
+    return results
+
+
+def _apply_child_result(status, detail):
+    import pytest
+
+    if status in ("failed", "error"):
+        pytest.fail(f"isolated child: {detail}", pytrace=False)
+    if status == "skipped":
+        pytest.skip(f"isolated child skipped: {detail.splitlines()[-1][:200]}"
+                    if detail else "isolated child skipped")
+
+
+def _isolated_runner(nodeid):
+    def run(**_fixtures):
+        results = _run_child((nodeid,))
+        _apply_child_result(*results[nodeid])
 
     return run
 
@@ -105,75 +203,16 @@ _FILE_CHILD_RESULTS = {}
 
 
 def _run_file_child(nodeids):
-    import subprocess
-
     key = tuple(nodeids)
-    if key in _FILE_CHILD_RESULTS:
-        return _FILE_CHILD_RESULTS[key]
-    env = dict(os.environ, **{_CHILD_ENV: "1"})
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-m", "pytest", "-q", "--tb=long", "-rfEs",
-             "-p", "no:cacheprovider", *nodeids],
-            cwd=_REPO_ROOT,
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=2400,
-        )
-        out, code = proc.stdout, proc.returncode
-        err = proc.stderr
-    except subprocess.TimeoutExpired as exc:
-        out = (exc.stdout or b"").decode(errors="replace") if isinstance(
-            exc.stdout, bytes) else (exc.stdout or "")
-        err = "child timed out after 2400s"
-        code = -1
-    results = {}
-    # -rfEs short summary: "FAILED nodeid - msg" / "ERROR nodeid" /
-    # "SKIPPED [n] file:line: reason" (skips don't carry nodeids — treat a
-    # clean exit's unlisted items as passed and map skips by file:line
-    # best-effort below via the count; a skipped item is re-reported as a
-    # generic skip).
-    n_skipped = 0
-    for line in out.splitlines():
-        if line.startswith("FAILED ") or line.startswith("ERROR "):
-            status = "failed" if line.startswith("FAILED ") else "error"
-            rest = line.split(" ", 1)[1]
-            nodeid = rest.split(" - ", 1)[0].strip()
-            results[nodeid] = (status, line)
-        elif line.startswith("SKIPPED "):
-            n_skipped += 1
-    if code not in (0, 1):  # crash/usage error: no per-test attribution
-        tail = f"(exit {code})\n{out[-3000:]}\n{err[-2000:]}"
-        _FILE_CHILD_RESULTS[key] = {
-            n: ("error", f"file-isolated child crashed {tail}")
-            for n in nodeids
-        }
-        return _FILE_CHILD_RESULTS[key]
-    for n in nodeids:
-        if n not in results:
-            results[n] = ("passed", "")
-    if n_skipped:
-        # conservative: if the child skipped anything, rerun-free mapping is
-        # ambiguous only for which items; surface the skip summary on the
-        # file's first item by marking all-passed items of a skipping child
-        # as "passed" and stashing the summary for visibility.
-        results["__skip_note__"] = (
-            "skipped", f"{n_skipped} test(s) skipped in child")
-    _FILE_CHILD_RESULTS[key] = results
-    return results
+    if key not in _FILE_CHILD_RESULTS:
+        _FILE_CHILD_RESULTS[key] = _run_child(key)
+    return _FILE_CHILD_RESULTS[key]
 
 
 def _file_isolated_runner(nodeid, file_nodeids):
     def run(**_fixtures):
-        import pytest
-
         results = _run_file_child(file_nodeids)
-        status, detail = results.get(nodeid, ("passed", ""))
-        if status in ("failed", "error"):
-            pytest.fail(
-                f"file-isolated child: {detail}", pytrace=False
-            )
+        _apply_child_result(*results[nodeid])
 
     return run
 

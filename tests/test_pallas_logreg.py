@@ -157,6 +157,30 @@ def test_fused_transition_statistics_match(models):
     assert abs(acca.mean() - accb.mean()) < 0.05
 
 
+def test_vmem_budget_falls_back(monkeypatch):
+    """A design matrix whose VMEM residency (X + X^T + blocks) exceeds the
+    kernel budget must route to the pure-JAX fallback instead of failing at
+    Mosaic compile with an opaque error (round-4 advisor finding). The
+    pallas_call symbol is poisoned to prove the kernel path is never taken,
+    and the fallback must still match the AD oracle."""
+    import dynamichmc_tpu.ops.pallas_logreg as mod
+
+    n_obs, k = 16384, 64  # pads to (16384, 128): X + X^T alone = 16.8 MB
+    plain = logistic_regression(n_obs=n_obs, dim=k, dtype=jnp.float32)
+    fused = logistic_regression(n_obs=n_obs, dim=k, dtype=jnp.float32,
+                                fused=True)
+
+    def _boom(*a, **kw):
+        raise AssertionError("pallas_call must not run over the VMEM budget")
+
+    monkeypatch.setattr(mod.pl, "pallas_call", _boom)
+    metric = diagonal_metric(jnp.ones(k, jnp.float32))
+    q, p, eps = _operands(10, c=8, k=k, scale=0.05)
+    g, ref = _oracle_leaf(plain, metric, q, p, eps)
+    out = fused.fused_leaf_batched_fn(metric, q, p, g, eps)
+    _check(out, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_per_chain_dense_falls_back(models):
     """A per-chain (C, K, K) dense metric — the default per-chain dense
     adaptation — must route to the pure-JAX fallback instead of crashing at
