@@ -427,6 +427,15 @@ def build_programs(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n_keep", "axis"))
+def _concat_draws(qs_list, n_keep, axis):
+    """One-dispatch concat+trim of accumulated sampling-chunk positions for
+    the ESS-target convergence check (eager per-chunk concats are tunnel
+    RPCs)."""
+    out = jnp.concatenate(qs_list, axis=axis) if len(qs_list) > 1 else qs_list[0]
+    return jax.lax.slice_in_dim(out, 0, n_keep, axis=axis)
+
+
 @functools.partial(jax.jit, static_argnames=("n_samples", "axis"))
 def _assemble_pieces(pieces, perm, n_samples, axis):
     """One-dispatch assembly of sampling chunks (outer tuple) x stratified
@@ -594,6 +603,9 @@ def execute(
     stratify_permute_only: bool = False,
     warmup_sink=None,
     warmup_resume: Optional[WarmupCheckpoint] = None,
+    ess_target: Optional[float] = None,
+    ess_check_start: int = 0,
+    ess_check_factor: float = 2.0,
 ):
     """Run the schedule eagerly, chunking long stages into watchdog-safe
     dispatches with adaptive chunk sizing (the TPU runtime kills single
@@ -612,6 +624,19 @@ def execute(
     restored from the checkpoint) and the resumed run's draws are bitwise
     identical to an uninterrupted one.
 
+    ``ess_target``: sample-until-converged (the batched-engine form of the
+    reference's stepwise run-until-criterion pattern, mcmc.jl:320-333).
+    After selected sampling-chunk boundaries the accumulated draws' min-
+    over-parameters pooled bulk ESS is evaluated ON DEVICE
+    (stats_device.ess_rhat_device); once it reaches the target, sampling
+    stops and the result holds exactly the draws taken (<= n_samples, which
+    becomes the cap). Checks start at ``ess_check_start`` draws (0 -> the
+    first chunk boundary >= max(sample_chunk, 64)) and then space
+    geometrically by ``ess_check_factor`` (each distinct cumulative draw
+    count compiles its own ESS program — the default factor 2 bounds that
+    to O(log) compiles; set 1.0 to check every chunk). Sync sampling only;
+    requires retaining draws (no draw_sink).
+
     ``key_fold(i)`` returns the (possibly batched) key for step-group ``i``.
     Returns (metric, eps, search_results, summaries, inference_tuple).
     """
@@ -626,6 +651,17 @@ def execute(
             "program (batch-native path with a fast-engine-expressible "
             "schedule)"
         )
+    if ess_target is not None:
+        if draw_sink is not None:
+            raise DynamicHMCError(
+                "ess_target needs the accumulated draws on device to "
+                "evaluate convergence; it cannot be combined with a "
+                "draw_sink"
+            )
+        if not ess_target > 0:
+            raise DynamicHMCError("ess_target must be > 0")
+        if not ess_check_factor >= 1.0:
+            raise DynamicHMCError("ess_check_factor must be >= 1.0")
     t_start = _time.perf_counter()
     search_results = None
     if warmup_resume is not None:
@@ -1079,6 +1115,16 @@ def execute(
         and n_batch_dims == 1
         and getattr(eps, "ndim", 0) == 1
     )
+    if ess_target is not None and (
+        stratify or (programs.sample_epoch is not None and n_batch_dims == 1)
+    ):
+        # never silently drop the criterion: the group-serial and epoch
+        # drivers record draws in layouts the incremental check doesn't
+        # cover (group-serial pieces, desynchronized ring rows)
+        raise DynamicHMCError(
+            "ess_target requires the sync (non-group-serial) sampling "
+            "driver; mesh stratification by permutation is supported"
+        )
     if stratify:
         # Depth-stratified execution: with PER-CHAIN stepsizes the lockstep
         # batch pays every transition's max-over-lanes tree depth, and small-
@@ -1258,6 +1304,12 @@ def execute(
         pieces = []
         if log is not None:
             log(f"sampling setup: {_time.perf_counter() - t_start:.2f}s since start")
+        next_ess_check = None
+        if ess_target is not None:
+            next_ess_check = (
+                int(ess_check_start) if ess_check_start > 0
+                else max(programs.sample_chunk, 64)
+            )
         t_sample = _time.perf_counter()
         for c in range(n_chunks):
             def run_sample(Q_in=Q, c_in=c):
@@ -1281,15 +1333,41 @@ def execute(
                 pieces.append(((None, None, stats),))
             else:
                 pieces.append(((qs, lds, stats),))
+            done = min((c + 1) * programs.sample_chunk, n_samples)
             if log is not None:
                 jax.block_until_ready(lds)
-                done = min((c + 1) * programs.sample_chunk, n_samples)
                 elapsed = _time.perf_counter() - t_sample
                 eta = (n_samples - done) * elapsed / max(done, 1)
                 log(
                     f"sampling: {done}/{n_samples} ({elapsed:.1f}s, "
                     f"{done / max(elapsed, 1e-9):.1f} draws/s, "
                     f"~{eta:.1f}s left)"
+                )
+            if (
+                next_ess_check is not None
+                and done >= next_ess_check
+                and done < n_samples
+            ):
+                from .stats_device import ess_rhat_device
+
+                qs_acc = _concat_draws(
+                    tuple(p[0][0] for p in pieces), done, axis
+                )
+                # pooled-over-chains bulk ESS is invariant to the lane
+                # permutation an eps-sorted (permute_only) state carries
+                min_ess = float(
+                    jnp.min(ess_rhat_device(qs_acc)["ess_bulk"])
+                )
+                if log is not None:
+                    log(
+                        f"ess check @ {done} draws: min bulk ESS "
+                        f"{min_ess:.0f} (target {ess_target:g})"
+                    )
+                if min_ess >= ess_target:
+                    n_samples = done
+                    break
+                next_ess_check = max(
+                    done + 1, int(done * ess_check_factor)
                 )
         if perm_only_inv is not None:
             Q = _regroup_q((Q,), perm_only_inv)

@@ -138,8 +138,26 @@ def run_chains(
     epoch_ring: int = 8,
     warmup_checkpoint_sink=None,
     warmup_resume=None,
+    ess_target: Optional[float] = None,
+    ess_check_start: int = 0,
+    ess_check_factor: float = 2.0,
 ) -> MCMCResult:
     """Run ``n_chains`` independently-warmed NUTS chains, batched on device.
+
+    ``ess_target``: sample until converged — the batched-engine form of the
+    reference's stepwise run-until-criterion pattern
+    (/root/reference/src/mcmc.jl:320-333). After selected sampling-chunk
+    boundaries the accumulated draws' min-over-parameters pooled bulk ESS
+    is evaluated on device; once it reaches the target, sampling stops and
+    the result holds exactly the draws taken (``n_samples`` becomes the
+    cap, so ``positions`` has shape (n_chains, n_drawn <= n_samples, K)).
+    ``ess_check_start`` sets the first checked draw count (0 -> the first
+    chunk boundary >= max(sample_chunk, 64)); later checks space
+    geometrically by ``ess_check_factor`` (default 2.0 — each distinct
+    cumulative draw count compiles its own ESS program, so the default
+    bounds compiles to O(log); 1.0 checks every chunk boundary). Sync
+    sampling driver only; incompatible with ``draw_sink`` and group-serial
+    ``stratify_sampling`` (mesh stratification is fine).
 
     ``warmup_checkpoint_sink``: called with an
     :class:`~dynamichmc_tpu.engine.WarmupCheckpoint` at every warmup dispatch
@@ -278,6 +296,23 @@ def run_chains(
             "draw_sink / stratify_sampling require a fast-engine-"
             "expressible warmup schedule (homogeneous TuningNUTS blocks)"
         )
+    if ess_target is not None:
+        if schedule is None:
+            raise NotImplementedError(
+                "ess_target requires a fast-engine-expressible warmup "
+                "schedule (homogeneous TuningNUTS blocks; the scan fallback "
+                "samples a fixed n_samples in one program)"
+            )
+        if sampling_driver != "sync":
+            raise NotImplementedError(
+                "ess_target requires the sync sampling driver"
+            )
+        if stratify_sampling and mesh is None:
+            raise NotImplementedError(
+                "ess_target is incompatible with group-serial "
+                "stratify_sampling (mesh stratification by permutation "
+                "is supported)"
+            )
     if warmup_driver == "wavefront" and schedule is None:
         raise NotImplementedError(
             "wavefront warmup requires a fast-engine-expressible warmup "
@@ -331,6 +366,9 @@ def run_chains(
             epoch_ring=epoch_ring,
             warmup_sink=warmup_checkpoint_sink,
             warmup_resume=warmup_resume,
+            ess_target=ess_target,
+            ess_check_start=ess_check_start,
+            ess_check_factor=ess_check_factor,
         )
 
     lean = dict(
@@ -477,6 +515,9 @@ def _run_chains_fast(
     epoch_ring: int = 8,
     warmup_sink=None,
     warmup_resume=None,
+    ess_target: Optional[float] = None,
+    ess_check_start: int = 0,
+    ess_check_factor: float = 2.0,
 ) -> MCMCResult:
     from ..stepsize import PooledStepsize
 
@@ -587,6 +628,9 @@ def _run_chains_fast(
         stratify_permute_only=stratify_mesh,
         warmup_sink=warmup_sink,
         warmup_resume=warmup_resume,
+        ess_target=ess_target,
+        ess_check_start=ess_check_start,
+        ess_check_factor=ess_check_factor,
     )
     if search_results is not None:
         # Deliberately checked AFTER the run, not right after the search
