@@ -174,6 +174,7 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
         # inside the timed window (~0.5 s)
         run_chains(
             jax.random.PRNGKey(9), ld, n_chains, n_samples,
+            tune="reference",
             warmup_stages=_stages(metric_kind, warm=True), dtype=jnp.float32,
             warmup_driver=driver, sampling_driver=sampling_driver,
             stratify_sampling=stratify,
@@ -188,6 +189,7 @@ def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
     t0 = time.perf_counter()
     res = run_chains(
         jax.random.PRNGKey(0), ld, n_chains, n_samples, dtype=jnp.float32,
+        tune="reference",
         warmup_stages=_stages(metric_kind, warm=False), log=log,
         warmup_driver=driver, sampling_driver=sampling_driver,
         stratify_sampling=stratify,
@@ -229,12 +231,12 @@ def run_cpu_baseline(dim: int, n_samples: int, metric_kind: str):
     with jax.default_device(cpu):
         ld = _model(dim, False)
         run_chains(
-            jax.random.PRNGKey(9), ld, 1, 8,
+            jax.random.PRNGKey(9), ld, 1, 8, tune="reference",
             warmup_stages=_stages(metric_kind, warm=True), dtype=jnp.float32,
         ).positions.block_until_ready()
         t0 = time.perf_counter()
         res = run_chains(
-            jax.random.PRNGKey(1), ld, 1, n_samples,
+            jax.random.PRNGKey(1), ld, 1, n_samples, tune="reference",
             warmup_stages=_stages(metric_kind, warm=False), dtype=jnp.float32,
         )
         res.positions.block_until_ready()

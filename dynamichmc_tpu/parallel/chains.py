@@ -123,8 +123,9 @@ def run_chains(
     n_samples: int,
     initialization: dict = {},
     warmup_stages: Optional[Tuple[WarmupStage, ...]] = None,
-    algorithm: NUTS = NUTS(),
+    algorithm: Optional[NUTS] = None,
     dtype=jnp.float32,
+    tune: str = "auto",
     mesh: Optional[Mesh] = None,
     log=None,
     draw_sink=None,
@@ -143,6 +144,21 @@ def run_chains(
     ess_check_factor: float = 2.0,
 ) -> MCMCResult:
     """Run ``n_chains`` independently-warmed NUTS chains, batched on device.
+
+    ``tune="auto"`` (default) fills every knob the caller left unspecified
+    from the measured decision table in :mod:`~dynamichmc_tpu.autotune`
+    (keyed on n_chains and the target dimension): metric structure and
+    pooling in the default warmup stages, per-chain vs pooled stepsize,
+    the warmup depth clamp, and — for large lockstep fleets — a sampling
+    ``max_depth`` cap (an ordinary NUTS parameter; Stan's treedepth). Each
+    applied choice is logged through the reporter, explicit arguments
+    always win (``algorithm=NUTS()`` pins the reference kernel;
+    ``warmup_depth_clamp=0`` explicitly disables the clamp), and a
+    post-run warning fires if an auto-applied depth cap saturates (> 20%
+    of draws at the cap — mixing, not exactness, is what a too-small cap
+    costs). ``tune="reference"`` reproduces the reference's semantics for
+    every unspecified knob: per-chain diagonal metric, per-chain dual
+    averaging, max_depth 10, no clamps (NUTS.jl:178-195, mcmc.jl:415-425).
 
     ``ess_target``: sample until converged — the batched-engine form of the
     reference's stepwise run-until-criterion pattern
@@ -222,6 +238,76 @@ def run_chains(
         from ..reporting import default_reporter, stage_log
 
         log = stage_log(default_reporter() if reporter is None else reporter)
+    if tune not in ("auto", "reference"):
+        raise ValueError("tune must be 'auto' or 'reference'")
+    # warmup_depth_clamp=0 means "explicitly no clamp" (distinct from None,
+    # which the autopilot may fill in)
+    explicit_no_clamp = warmup_depth_clamp == 0
+    if explicit_no_clamp:
+        warmup_depth_clamp = None
+    auto_capped_depth = None
+    if tune == "auto":
+        from ..autotune import auto_choices
+
+        choices = auto_choices(
+            n_chains, ld.dim,
+            max_depth_limit=(
+                algorithm.max_depth if algorithm is not None else 10
+            ),
+        )
+        generalized = (
+            algorithm is None
+            or algorithm.turn_statistic_configuration == "generalized"
+        )
+        applied = []
+        if algorithm is None:
+            if choices.max_depth is not None:
+                algorithm = NUTS(max_depth=choices.max_depth)
+                auto_capped_depth = choices.max_depth
+                applied.append(f"max_depth={choices.max_depth}")
+            else:
+                algorithm = NUTS()
+        if warmup_stages is None and generalized:
+            warmup_stages = default_warmup_stages(
+                metric_kind=choices.metric_kind,
+                pooled=choices.pooled_metric,
+                pooled_stepsize=(
+                    choices.pooled_stepsize and choices.pooled_metric
+                ),
+            )
+            applied.append(
+                ("pooled " if choices.pooled_metric else "per-chain ")
+                + choices.metric_kind + " metric"
+            )
+            applied.append(
+                "pooled eps"
+                if choices.pooled_stepsize and choices.pooled_metric
+                else "per-chain eps"
+            )
+        if (
+            warmup_depth_clamp is None
+            and not explicit_no_clamp
+            and generalized
+            and warmup_stages is not None
+        ):
+            sched_try = WarmupSchedule.from_stages(tuple(warmup_stages))
+            if sched_try is not None and choices.warmup_depth_clamp:
+                warmup_depth_clamp = min(
+                    choices.warmup_depth_clamp, algorithm.max_depth
+                )
+                if warmup_depth_clamp_tail == 0:
+                    warmup_depth_clamp_tail = min(
+                        choices.warmup_depth_clamp_tail,
+                        sched_try.block_sizes[-1] // 2,
+                    )
+                applied.append(
+                    f"warmup clamp {warmup_depth_clamp}"
+                    f"/{warmup_depth_clamp_tail}"
+                )
+        if applied and log is not None:
+            log("autotune: " + ", ".join(applied))
+    if algorithm is None:
+        algorithm = NUTS()
     if warmup_stages is None:
         warmup_stages = default_warmup_stages()
     if mesh is not None:
@@ -353,8 +439,36 @@ def run_chains(
             # re-adapts eps under the unclamped kernel
             depth_clamp_tail=int(warmup_depth_clamp_tail),
         )
+    def _warn_auto_cap(result: MCMCResult) -> MCMCResult:
+        # post-run safety valve for the auto-applied sampling depth cap: a
+        # saturated cap costs mixing (never exactness) — tell the user how
+        # to lift it (one scalar device reduce; the result arrays are about
+        # to be fetched anyway)
+        if (
+            auto_capped_depth is not None
+            and n_samples > 0
+            and result.tree_statistics is not None
+        ):
+            frac = float(
+                jnp.mean(
+                    (result.tree_statistics.depth >= auto_capped_depth)
+                    .astype(jnp.float32)
+                )
+            )
+            from ..autotune import CAP_SATURATION_WARN
+
+            if frac > CAP_SATURATION_WARN and log is not None:
+                log(
+                    f"autotune WARNING: {100 * frac:.0f}% of draws hit the "
+                    f"auto-applied max_depth={auto_capped_depth} cap — this "
+                    "target builds genuinely deep trajectories, and the cap "
+                    "is costing mixing. Pass algorithm=NUTS() (reference "
+                    "max_depth 10) or tune='reference' and compare ESS."
+                )
+        return result
+
     if schedule is not None:
-        return _run_chains_fast(
+        return _warn_auto_cap(_run_chains_fast(
             schedule, ld, algorithm, n_samples, states, chain_keys, mesh,
             log=log, draw_sink=draw_sink,
             # custom turn statistics need the generic per-chain driver
@@ -369,7 +483,7 @@ def run_chains(
             ess_target=ess_target,
             ess_check_start=ess_check_start,
             ess_check_factor=ess_check_factor,
-        )
+        ))
 
     lean = dict(
         collect_warmup_positions=False,
@@ -419,13 +533,13 @@ def run_chains(
     _check_stepsize_search(
         [(None, results, None) for results, _st in history]
     )
-    return MCMCResult(
+    return _warn_auto_cap(MCMCResult(
         positions=inference.positions,
         logdensities=inference.logdensities,
         tree_statistics=inference.tree_statistics,
         metric=final_states.metric,
         eps=final_states.eps,
-    )
+    ))
 
 
 # --- fast path: shared dynamically-bounded stage program ------------------------
