@@ -270,6 +270,65 @@ def _arm_watchdog():
     t.start()
 
 
+def run_funnel_row():
+    """BASELINE config 4 as a driver-captured row (VERDICT round-4 item 1).
+
+    Runs the funnel benchmark configuration inside the same process (env
+    overridden, then restored) and returns a dict embedded under the
+    ``"funnel"`` key of the single JSON line. Config knobs (round-5
+    measured): FUNNEL_MD caps tree depth, FUNNEL_POOLED_EPS selects the
+    stepsize pooling; defaults hold the measured winner.
+    """
+    overrides = {
+        "BENCH_MODEL": "funnel",
+        "BENCH_MAX_DEPTH": os.environ.get("BENCH_FUNNEL_MD", "7"),
+        "BENCH_POOLED_EPS": os.environ.get("BENCH_FUNNEL_POOLED_EPS", "1"),
+        # keep the standard warmup clamp (funnel-gated in round 4)
+        "BENCH_DEPTH_CLAMP": os.environ.get("BENCH_DEPTH_CLAMP", "2"),
+    }
+    saved = {k: os.environ.get(k) for k in overrides}
+    os.environ.update(overrides)
+    try:
+        n_chains = int(os.environ.get("BENCH_FUNNEL_CHAINS", "4096"))
+        dim = int(os.environ.get("BENCH_FUNNEL_DIM", "25"))
+        n_samples = int(os.environ.get("BENCH_FUNNEL_SAMPLES", "512"))
+        positions, seconds, divergences, steps = run_tpu(
+            n_chains, dim, n_samples, "diagonal", False
+        )
+        ess_min_rate, ess_mean_rate = _ess_per_sec(positions, seconds)
+        if int(os.environ.get("BENCH_BASELINE", "1")):
+            base_positions, base_seconds = run_cpu_baseline(
+                dim, max(n_samples, 512), "diagonal"
+            )
+            base_min_rate, _ = _ess_per_sec(base_positions, base_seconds)
+        else:
+            base_min_rate = 0.0
+        row = {
+            "metric": (
+                f"min_pooled_bulk_ESS_per_sec_funnel{dim}d_"
+                f"{n_chains}chains_diagonalmetric"
+            ),
+            "value": round(ess_min_rate, 3),
+            "unit": "ESS/s",
+            "vs_baseline": round(
+                ess_min_rate / base_min_rate if base_min_rate else 0.0, 3
+            ),
+            "wall_seconds": round(seconds, 2),
+            "divergences": divergences,
+            "total_min_ess": round(ess_min_rate * seconds, 1),
+            "max_depth": int(overrides["BENCH_MAX_DEPTH"]) or 10,
+            "pooled_eps": bool(int(overrides["BENCH_POOLED_EPS"])),
+        }
+        print(f"[bench] funnel row: {row}", file=sys.stderr)
+        return row
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
 def main():
     _arm_watchdog()
     n_chains = int(os.environ.get("BENCH_CHAINS", 4096))
@@ -313,29 +372,36 @@ def main():
         f"mean={base_mean_rate:.4g} (wall {base_seconds:.2f}s)",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "min_pooled_bulk_ESS_per_sec_"
-                    + {
-                        "logreg": f"logreg{dim}d_",
-                        "stdnormal": f"{dim}d_std_normal_",
-                        "funnel": f"funnel{dim}d_",
-                    }.get(
-                        os.environ.get("BENCH_MODEL", "gaussian"),
-                        f"{dim}d_corr_gaussian_",
-                    )
-                    + f"{n_chains}chains_{metric_kind}metric"
-                ),
-                "value": round(ess_min_rate, 3),
-                "unit": "ESS/s",
-                "vs_baseline": round(
-                    ess_min_rate / base_min_rate if base_min_rate else 0.0, 3
-                ),
-            }
-        )
-    )
+    record = {
+        "metric": (
+            "min_pooled_bulk_ESS_per_sec_"
+            + {
+                "logreg": f"logreg{dim}d_",
+                "stdnormal": f"{dim}d_std_normal_",
+                "funnel": f"funnel{dim}d_",
+            }.get(
+                os.environ.get("BENCH_MODEL", "gaussian"),
+                f"{dim}d_corr_gaussian_",
+            )
+            + f"{n_chains}chains_{metric_kind}metric"
+        ),
+        "value": round(ess_min_rate, 3),
+        "unit": "ESS/s",
+        "vs_baseline": round(
+            ess_min_rate / base_min_rate if base_min_rate else 0.0, 3
+        ),
+    }
+    # BASELINE config 4 (Neal's funnel) rides the same driver-captured JSON
+    # line (one line total) — default on for the standard headline
+    # invocation only, so sweeps/ad-hoc runs aren't doubled
+    if int(os.environ.get(
+        "BENCH_FUNNEL_ROW",
+        "1" if os.environ.get("BENCH_MODEL", "gaussian") == "gaussian"
+        and not os.environ.get("BENCH_CHAINS")
+        else "0",
+    )):
+        record["funnel"] = run_funnel_row()
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -261,7 +261,12 @@ def run_chains(
         )
         applied = []
         if algorithm is None:
-            if choices.max_depth is not None:
+            # auto-cap the tree depth ONLY when the autopilot also owns the
+            # warmup stages (measured, round 5: the cap's safety depends on
+            # fleet-pooled metric quality — the same kernel over a noisy
+            # per-chain 64x64 metric estimate fails R-hat at 1.21; see
+            # test_bench_kernel_semantics_bench_dim)
+            if choices.max_depth is not None and warmup_stages is None:
                 algorithm = NUTS(max_depth=choices.max_depth)
                 auto_capped_depth = choices.max_depth
                 applied.append(f"max_depth={choices.max_depth}")

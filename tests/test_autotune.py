@@ -141,9 +141,13 @@ def test_small_fleet_logs_only_structural_choices():
 def test_explicit_stages_respected():
     stages = default_warmup_stages(metric_kind="diagonal", **STAGES_KW)
     res, logs = _run(n_chains=256, warmup_stages=stages, n_samples=16)
-    # per-chain diagonal preserved; scheduling choices still applied
+    # per-chain diagonal preserved; the warmup clamp (exactness-neutral
+    # scheduling) still applies, but the depth CAP does not — its safety
+    # was measured to depend on fleet-pooled metric quality, which user
+    # stages don't guarantee (test_bench_kernel_semantics_bench_dim)
     assert np.asarray(res.metric.m_inv).shape == (256, DIM)
     assert "clamp" in _auto_line(logs)
+    assert "max_depth" not in _auto_line(logs)
 
 
 def test_tune_validates():
@@ -178,17 +182,19 @@ def test_auto_config_moment_recovery():
 
 @pytest.mark.slow
 def test_cap_saturation_warning_fires():
-    """A diagonal metric on a strongly correlated target builds genuinely
-    deep trees; the auto cap saturates and the post-run warning must say
-    so (the safety valve for funnel-like targets)."""
-    model = correlated_gaussian(DIM, rho=0.95, dtype=jnp.float64)
-    stages = default_warmup_stages(metric_kind="diagonal", pooled=True,
-                                   **STAGES_KW)
+    """Neal's funnel builds genuinely deep trees that no Euclidean metric
+    preconditions away; the auto cap saturates under the autopilot's own
+    pooled stages and the post-run warning must say so (the safety valve
+    for funnel-like targets)."""
+    from dynamichmc_tpu.models import funnel
+
+    model = funnel(8, dtype=jnp.float64)
     logs = []
     res = run_chains(
         jax.random.PRNGKey(6), model, n_chains=256, n_samples=64,
-        warmup_stages=stages, dtype=jnp.float64, log=logs.append,
+        dtype=jnp.float64, log=logs.append,
     )
+    assert "max_depth=4" in _auto_line(logs)
     depth = np.asarray(res.tree_statistics.depth)
     assert (depth >= 4).mean() > autotune.CAP_SATURATION_WARN
     assert any("autotune WARNING" in l for l in logs)

@@ -112,6 +112,42 @@ def test_bench_kernel_semantics():
 
 
 @pytest.mark.slow
+def test_bench_kernel_semantics_bench_dim():
+    # Round-4 review: the 8-dim gate above validates the depth-4 mechanism
+    # in a regime much easier than the 100-d headline — max-depth
+    # truncation risk grows with dimension and conditioning. This gate runs
+    # the EXACT bench configuration (max_depth=4, clamp 2/25, POOLED dense
+    # metric at fleet scale, per-chain eps) on the bench's own target
+    # construction (models.correlated_gaussian: rho=0.8 equicorrelation,
+    # random rotation, exp(U(-1,1)) scales — condition number >> 1) at 64
+    # dims: the full R-hat / tau / Anderson-Darling / EBFMI protocol must
+    # still pass.
+    #
+    # Measured while writing this gate (round 5): the POOLING is load-
+    # bearing, not incidental — the same kernel with the reference's
+    # PER-CHAIN dense metric at 5 chains fails R-hat at 1.21 (a 64x64
+    # covariance estimated from one chain's warmup blocks is too noisy to
+    # terminate trees by depth 4, and the truncation then stalls mixing).
+    # max_depth=4 is a bench/fleet configuration, valid exactly where the
+    # pooled metric is fleet-estimated; the autopilot accordingly only
+    # auto-caps depth when it also owns pooled warmup stages.
+    from dynamichmc_tpu.models import correlated_gaussian
+
+    model = correlated_gaussian(64, dtype=jnp.float64)
+    run_and_check(
+        model,
+        jax.random.PRNGKey(4141),
+        "bench kernel semantics at bench dimension (64-d rotated Gaussian)",
+        n_chains=128,
+        n_samples=256,
+        warmup_stages=default_warmup_stages(metric_kind="dense", pooled=True),
+        algorithm=NUTS(max_depth=4),
+        warmup_depth_clamp=2,
+        warmup_depth_clamp_tail=25,
+    )
+
+
+@pytest.mark.slow
 def test_specific_normals():
     # sample-correctness_tests.jl:53-87 "specific normal distributions":
     # univariate huge/tiny variances (5e8 / 5e-8, with offsets) and a mildly
