@@ -113,10 +113,48 @@ def _model(dim: int, fused: bool):
     return correlated_gaussian(dim, dtype=jnp.float32, fused=fused)
 
 
+def run_auto(n_chains: int, dim: int, n_samples: int):
+    """BENCH_AUTO=1: measure the PLAIN library call — run_chains(key, ld,
+    C, N) with zero tuning arguments — so the autopilot's claim (within
+    ~15% of the hand-tuned headline, VERDICT round-4 item 2) is
+    measurable. The autopilot picks stages/pooling/clamps/depth itself;
+    its choices are printed via the log hook."""
+    from dynamichmc_tpu.parallel import run_chains
+
+    ld = _model(dim, False)
+    log = (
+        (lambda m: print(f"[bench] {m}", file=sys.stderr))
+        if os.environ.get("BENCH_VERBOSE")
+        else None
+    )
+    if int(os.environ.get("BENCH_WARM", "1")):
+        run_chains(
+            jax.random.PRNGKey(9), ld, n_chains, n_samples,
+            dtype=jnp.float32,
+        ).positions.block_until_ready()
+    t0 = time.perf_counter()
+    res = run_chains(
+        jax.random.PRNGKey(0), ld, n_chains, n_samples, dtype=jnp.float32,
+        log=log,
+    )
+    res.positions.block_until_ready()
+    seconds = time.perf_counter() - t0
+    positions = (
+        res.positions
+        if int(os.environ.get("BENCH_ESS_DEVICE", "0"))
+        else np.asarray(res.positions, np.float64)
+    )
+    div = int(np.asarray(res.tree_statistics.is_divergent).sum())
+    steps = int(np.asarray(res.tree_statistics.steps, np.int64).sum())
+    return positions, seconds, div, steps
+
+
 def run_tpu(n_chains: int, dim: int, n_samples: int, metric_kind: str,
             fused: bool):
     from dynamichmc_tpu.parallel import run_chains
 
+    if int(os.environ.get("BENCH_AUTO", "0")):
+        return run_auto(n_chains, dim, n_samples)
     driver = "wavefront" if int(os.environ.get("BENCH_WAVEFRONT", "0")) else "sync"
     # BENCH_SAMPLING_DRIVER: sync (lockstep chunks) | epoch (desynchronized
     # epoch wavefront, tree_wavefront_epoch.py)
@@ -275,14 +313,23 @@ def run_funnel_row():
 
     Runs the funnel benchmark configuration inside the same process (env
     overridden, then restored) and returns a dict embedded under the
-    ``"funnel"`` key of the single JSON line. Config knobs (round-5
-    measured): FUNNEL_MD caps tree depth, FUNNEL_POOLED_EPS selects the
-    stepsize pooling; defaults hold the measured winner.
+    ``"funnel"`` key of the single JSON line.
+
+    Config (round-5 measured, same-session sweep at 4096 chains, dim 25,
+    per-chain eps, clamp 2/25, device ESS): md=10 8.60s / 1040 ESS/s
+    (total min ESS 8943, 24 div), md=8 2.55s / 3451 (8811, 19), md=7
+    1.50s / 5682 (8538, 24), md=6 0.98s / 8220 (8029 = -10% total ESS,
+    rejected). Pooled eps at md=10 measured 8.44s / 1115 with divergences
+    24 -> 165 (the shared eps overruns the neck chains) — rejected.
+    Default: max_depth 7, PER-CHAIN eps — 4.5% total-ESS cost for 5.5x
+    rate; every scheduler alternative measured in round 4 lost outright
+    (epoch 13.9s, wavefront+epoch 15.7s vs sync 8.8s). Kernel gate:
+    tests/test_sample_correctness.py::test_funnel_bench_kernel_semantics.
     """
     overrides = {
         "BENCH_MODEL": "funnel",
         "BENCH_MAX_DEPTH": os.environ.get("BENCH_FUNNEL_MD", "7"),
-        "BENCH_POOLED_EPS": os.environ.get("BENCH_FUNNEL_POOLED_EPS", "1"),
+        "BENCH_POOLED_EPS": os.environ.get("BENCH_FUNNEL_POOLED_EPS", "0"),
         # keep the standard warmup clamp (funnel-gated in round 4)
         "BENCH_DEPTH_CLAMP": os.environ.get("BENCH_DEPTH_CLAMP", "2"),
     }

@@ -20,7 +20,7 @@ def logistic_regression(
     seed: int = 0,
     prior_scale: float = 10.0,
     dtype=jnp.float64,
-    fused: bool = False,
+    fused=False,
 ) -> TestModel:
     """Synthetic logistic regression: X ~ N(0, I), true beta ~ N(0, 1),
     y ~ Bernoulli(sigmoid(X beta)); weakly-informative normal prior.
@@ -29,7 +29,11 @@ def logistic_regression(
     (ops/pallas_logreg.py): the batch drivers then run the whole leaf —
     leapfrog + both likelihood matmuls + joint energy — as one kernel with
     X resident in VMEM. ``fused=False`` keeps the reference's AD-user-side
-    contract (gradient via jax.value_and_grad through the matmul)."""
+    contract (gradient via jax.value_and_grad through the matmul).
+    ``fused="auto"`` attaches the kernel only where it is measured to win:
+    MXU-lane-filling dims (kp/dim <= ops.pallas_logreg.FUSED_MAX_PAD_RATIO;
+    at dim 25 the 5.1x lane padding made it 0.87x vs XLA AD), a
+    VMEM-resident design matrix, and the TPU backend at trace time."""
     rng = np.random.RandomState(seed)
     x_np = rng.randn(n_obs, dim)
     beta_true = rng.randn(dim)
@@ -40,11 +44,16 @@ def logistic_regression(
     y = jnp.asarray(y_np, dtype)
 
     fused_leaf_batched_fn = None
+    auto = fused == "auto"
+    if auto:
+        from ..ops.pallas_logreg import fused_leaf_pays
+
+        fused = fused_leaf_pays(n_obs, dim)
     if fused:
         from ..ops.pallas_logreg import make_logreg_fused_leaf_batched
 
         fused_leaf_batched_fn = make_logreg_fused_leaf_batched(
-            x_np, y_np, prior_scale=prior_scale
+            x_np, y_np, prior_scale=prior_scale, tpu_only=auto
         )
 
     def logdensity_fn(beta):

@@ -101,12 +101,34 @@ def _make_kernel(inv_ps2: float, dense: bool):
     return kernel
 
 
+#: max MXU lane-padding waste at which the fused kernel still wins. Measured
+#: (round 4): K=25 pads to 128 lanes — 5.1x wasted FLOPs/bytes on every
+#: (C, K) array and both matmuls — and loses 0.87x vs XLA AD; lane-filling
+#: dims win (the regime the quadratic fused leaf demonstrated). 1.5 admits
+#: K >= ~86.
+FUSED_MAX_PAD_RATIO = 1.5
+
+
+def fused_leaf_pays(n_obs: int, dim: int) -> bool:
+    """Shape-economics dispatch heuristic for ``logistic_regression(
+    fused="auto")``: attach the fused kernel only when (a) the MXU
+    lane-padding waste kp/dim is small and (b) the design matrix fits the
+    kernel's VMEM budget (otherwise every call would take the pure-JAX
+    fallback anyway)."""
+    kp = _round_up(dim, 128)
+    if kp / dim > FUSED_MAX_PAD_RATIO:
+        return False
+    np_ = _round_up(n_obs, 128)
+    return 4 * 2 * np_ * kp <= 11 * 1024 * 1024  # X + X^T, with headroom
+
+
 def make_logreg_fused_leaf_batched(
     x: jnp.ndarray,  # (n_obs, dim) design matrix
     y: jnp.ndarray,  # (n_obs,) 0/1 responses
     prior_scale: float = 10.0,
     block_c: int = 256,
     interpret: Optional[bool] = None,
+    tpu_only: bool = False,
 ):
     """Hook for ``LogDensity.fused_leaf_batched_fn`` on the logistic
     regression posterior of models/logreg.py (identical target: stable
@@ -173,6 +195,12 @@ def make_logreg_fused_leaf_batched(
         # PER-CHAIN dense metrics — a (C, K, K) m_inv doesn't fit the
         # single shared VMEM block (mirrors ops/pallas_leaf.py)
         if q.dtype != jnp.float32 or (dense and metric.m_inv.ndim == 3):
+            return _fallback()
+        # auto-attached hooks (fused="auto") only engage the kernel on TPU:
+        # elsewhere it would run in (slow) interpret mode — the pure-JAX
+        # path is the right default off-TPU. Explicit fused=True keeps the
+        # interpret path (the CPU parity tests exercise the kernel itself).
+        if tpu_only and jax.default_backend() != "tpu":
             return _fallback()
         c = q.shape[0]
         bc = min(block_c, _round_up(c, 8))

@@ -157,6 +157,47 @@ def test_fused_transition_statistics_match(models):
     assert abs(acca.mean() - accb.mean()) < 0.05
 
 
+def test_auto_dispatch_heuristic():
+    """fused='auto' attaches the kernel only in its measured winning regime:
+    lane-filling dims with a VMEM-resident design matrix."""
+    from dynamichmc_tpu.ops.pallas_logreg import fused_leaf_pays
+
+    assert not fused_leaf_pays(1000, 25)     # 5.1x lane padding: loses
+    assert fused_leaf_pays(1000, 128)        # lane-filling: wins
+    assert fused_leaf_pays(1000, 100)        # 1.28x padding: admitted
+    assert not fused_leaf_pays(16384, 128)   # X + X^T exceed VMEM budget
+
+    m_small = logistic_regression(n_obs=1000, dim=25, dtype=jnp.float32,
+                                  fused="auto")
+    assert m_small.fused_leaf_batched_fn is None
+    m_big = logistic_regression(n_obs=1000, dim=128, dtype=jnp.float32,
+                                fused="auto")
+    assert m_big.fused_leaf_batched_fn is not None
+
+
+def test_auto_hook_off_tpu_takes_fallback(monkeypatch):
+    """An auto-attached hook must route to the pure-JAX path off-TPU (the
+    kernel would otherwise run in slow interpret mode), and still match
+    the AD oracle."""
+    import dynamichmc_tpu.ops.pallas_logreg as mod
+
+    k = 128
+    plain = logistic_regression(n_obs=300, dim=k, dtype=jnp.float32)
+    auto = logistic_regression(n_obs=300, dim=k, dtype=jnp.float32,
+                               fused="auto")
+    assert auto.fused_leaf_batched_fn is not None
+
+    def _boom(*a, **kw):
+        raise AssertionError("auto hook must not launch the kernel off-TPU")
+
+    monkeypatch.setattr(mod.pl, "pallas_call", _boom)
+    metric = diagonal_metric(jnp.ones(k, jnp.float32))
+    q, p, eps = _operands(11, c=8, k=k, scale=0.1)
+    g, ref = _oracle_leaf(plain, metric, q, p, eps)
+    out = auto.fused_leaf_batched_fn(metric, q, p, g, eps)
+    _check(out, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_vmem_budget_falls_back(monkeypatch):
     """A design matrix whose VMEM residency (X + X^T + blocks) exceeds the
     kernel budget must route to the pure-JAX fallback instead of failing at

@@ -254,6 +254,39 @@ def test_funnel_normal_mixture():
 
 
 @pytest.mark.slow
+def test_funnel_bench_kernel_semantics():
+    # The funnel bench row (bench.py run_funnel_row) runs max_depth=7 with
+    # the warmup clamp 2/25 — round-5 sweep (4096 chains, dim 25, per-chain
+    # eps, same session): md=10 8.60s/1040 ESS/s (total min ESS 8943),
+    # md=8 2.55s/3451 (8811), md=7 1.50s/5682 (8538), md=6 0.98s/8220
+    # (8029, -10% total ESS — rejected). md=7 trades 4.5% of total min ESS
+    # for 5.5x rate; a capped kernel is valid NUTS, and this gate pins that
+    # exact kernel configuration to the funnel-normal-mixture acceptance
+    # protocol (the same relaxed thresholds as the uncapped gate above).
+    k = 3
+    fun = funnel(k, sigma_v=1.5)
+    norm = mvnormal(np.zeros(k), np.eye(k) * 4.0)
+    model = mixture(0.5, norm, fun)
+    run_and_check(
+        model,
+        jax.random.PRNGKey(600),
+        "funnel-normal mixture (bench kernel: max_depth=7, clamp 2/25)",
+        n_samples=4000,
+        algorithm=NUTS(max_depth=7),
+        warmup_depth_clamp=2,
+        warmup_depth_clamp_tail=25,
+        thresholds=Thresholds(
+            rhat_fail=1.05,
+            tau_alert=0.1,
+            tau_fail=0.03,
+            ebfmi_alert=0.2,
+            ebfmi_fail=0.1,
+            ad_fail=1e-3,
+        ),
+    )
+
+
+@pytest.mark.slow
 def test_funnel_diagnostics():
     # BASELINE config 4: funnel with divergence + EBFMI + tree-depth
     # diagnostics — verifies the sampler *reports* the pathology.
