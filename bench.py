@@ -102,7 +102,8 @@ def _model(dim: int, fused: bool):
         from dynamichmc_tpu.models import logistic_regression
 
         return logistic_regression(
-            n_obs=1000, dim=dim, dtype=jnp.float32, fused=fused
+            n_obs=int(os.environ.get("BENCH_NOBS", "1000")),
+            dim=dim, dtype=jnp.float32, fused=fused,
         )
     if name == "stdnormal":
         from dynamichmc_tpu.models import std_normal
