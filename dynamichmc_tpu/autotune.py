@@ -22,12 +22,17 @@ mode preserves. The rules, with their measurements:
   precondition a rotated covariance; tau ~ 30 draws vs ~1). Diagonal
   beyond ``DENSE_DIM_MAX`` where O(K^2) leaf matmuls and metric estimation
   stop paying.
-- **Per-chain dual-averaging stepsize** (reference semantics) up to ~4k
-  chains: each chain lands at its own acceptance optimum, where NUTS draws
-  antithetically (~2.26 ESS/draw vs ~1.07 pooled, round 3). **Pooled
-  stepsize** at >= 8k chains: the adapted eps spread widens with fleet
-  size until sampling straggler waste hits 77-93% (round 4: pooled 845k
-  vs per-chain 544k ESS/s at 8192).
+- **Per-chain dual-averaging stepsize** (reference semantics) at every
+  fleet size: each chain lands at its own acceptance optimum, where NUTS
+  draws antithetically (~2.26 ESS/draw vs ~1.07 pooled, round 3). The
+  round-4 "pool eps at >= 8k chains" rule was an md=10 artifact — the
+  per-chain eps spread's straggler tax that motivated it is exactly what
+  the depth cap removes. Re-measured at 8192 chains under the cap
+  (round 5, same session): per-chain 3.24 s / 2.92M ESS/s / total min
+  ESS 9.44M vs pooled-eps 2.61 s / 1.74M / 4.54M — per-chain wins
+  outright. Pooled stepsize remains available via
+  ``default_warmup_stages(pooled_stepsize=True)`` for wall-clock-bound
+  runs.
 - **Warmup depth clamp 2 with a 25-step tail clamp**: cap tree doublings
   during all warmup blocks but the last (+ the final block's DA-restart
   transient). Cut warmup straggler waste 65% -> ~5% at IDENTICAL total
@@ -51,7 +56,6 @@ from typing import Optional, Tuple
 
 # measured thresholds (BENCH_NOTES.md); module constants so tests pin them
 POOLED_METRIC_MIN_CHAINS = 128
-POOLED_EPS_MIN_CHAINS = 8192
 DENSE_DIM_MAX = 256
 MAX_DEPTH_CAP = 4
 MAX_DEPTH_CAP_MIN_CHAINS = 256
@@ -110,7 +114,9 @@ def auto_choices(
         metric_kind = (
             "dense" if (pooled_metric and dim <= DENSE_DIM_MAX) else "diagonal"
         )
-    pooled_eps = n_chains >= POOLED_EPS_MIN_CHAINS
+    # per-chain eps at every fleet size (see module docstring: the pooled-
+    # eps-at-8k rule died with the depth cap)
+    pooled_eps = False
     cap = (
         min(MAX_DEPTH_CAP, max_depth_limit)
         if n_chains >= MAX_DEPTH_CAP_MIN_CHAINS

@@ -34,12 +34,14 @@ def test_headline_fleet_choices():
     assert c.max_depth == 4
 
 
-def test_large_fleet_pools_eps():
-    """8k+ chains: per-chain eps spread widens until sampling straggler
-    waste hits 77-93% (measured pooled 845k vs per-chain 544k ESS/s)."""
+def test_per_chain_eps_at_every_fleet_size():
+    """Round-5 re-measure under the depth cap (8192 chains, same session):
+    per-chain eps 2.92M ESS/s / total min ESS 9.44M vs pooled-eps 1.74M /
+    4.54M — the round-4 pool-at-8k rule was an md=10 artifact (the eps
+    spread's straggler tax is exactly what the cap removes)."""
     assert not auto_choices(4096, 100).pooled_stepsize
-    assert auto_choices(8192, 100).pooled_stepsize
-    assert auto_choices(16384, 100).pooled_stepsize
+    assert not auto_choices(8192, 100).pooled_stepsize
+    assert not auto_choices(16384, 100).pooled_stepsize
 
 
 def test_small_fleet_keeps_reference_semantics():
