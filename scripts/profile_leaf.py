@@ -13,6 +13,16 @@ pieces of the leaf body at trace time (tree_batched._ablate) and re-timing:
 All ablated variants are statistically WRONG — this script is timing only.
 Run on the TPU (one process at a time): python scripts/profile_leaf.py
 Knobs: PROF_CHAINS, PROF_DIM, PROF_STEPS.
+
+ATTRIBUTION CAVEAT (measured, round 5): the "-merge" ablation disables
+turn DETECTION, so trees run to max depth — e.g. 65472 leaf iters vs the
+full driver's 576 on the same workload. The per-iter deltas between
+variants with different iteration counts therefore mix fixed/per-doubling
+amortization into the "attribution" and can be wildly wrong (merge showed
+150 us/iter where the true marginal is near zero). Trust the per-iter
+numbers only WITHIN a fixed tree shape (the -merge* family), and use the
+eps/max_depth sweep regression (scripts/profile_flat.py) for real
+marginal-cost attribution.
 """
 
 import os
