@@ -57,6 +57,7 @@ from .stats_device import ess_rhat_device
 from .mcmc import (
     InferenceResult,
     MCMCResult,
+    StepwiseChunk,
     mcmc,
     mcmc_keep_warmup,
     mcmc_steps,
@@ -98,6 +99,7 @@ __all__ = [
     "MCMCResult",
     "mcmc",
     "mcmc_keep_warmup",
+    "StepwiseChunk",
     "mcmc_steps",
     "mcmc_steps_from_state",
     "mcmc_with_warmup",

@@ -618,10 +618,32 @@ def mcmc_with_warmup(
 # --- stepwise API ---------------------------------------------------------------
 
 
+@pytree_dataclass
+class StepwiseChunk:
+    """Return value of :meth:`MCMCSteps.next_chunk`: ``n_steps`` transitions'
+    draws + per-draw diagnostics, scan-stacked along the leading axis."""
+
+    positions: jnp.ndarray  # (n, K) or (n, C, K)
+    logdensities: jnp.ndarray  # (n,) or (n, C)
+    tree_statistics: TreeStatistics
+
+
 @dataclasses.dataclass(frozen=True)
 class MCMCSteps:
     """Stepwise sampling handle (mcmc.jl:295-341): fixed algorithm, metric and
-    stepsize; each ``next_step(key, Q)`` is one transition."""
+    stepsize; each ``next_step(key, Q)`` is one transition.
+
+    On a tunneled/remote accelerator every ``next_step`` is a full dispatch
+    RPC (~0.1-0.3 s on this image's axon tunnel) — fine for debugging, far
+    too slow to drive a run-until-converged loop one transition at a time.
+    :meth:`next_chunk` is the amortized form: ``n_steps`` transitions as ONE
+    compiled ``lax.scan`` dispatch, with bitwise-identical draws to the
+    equivalent ``next_step`` sequence (the key is split identically). For
+    fleet-scale run-until-criterion sampling use
+    ``run_chains(..., ess_target=...)`` — the engine additionally chunks
+    dispatches adaptively under the TPU runtime's execution watchdog, which
+    this handle does not (keep ``n_steps`` modest on tunneled chips).
+    """
 
     ld: LogDensity
     algorithm: NUTS
@@ -632,12 +654,58 @@ class MCMCSteps:
         """One transition (mcmc.jl:348-351)."""
         return self._jitted(key, Q)
 
+    def next_chunk(self, key, Q: EvaluatedPoint, n_steps: int):
+        """``n_steps`` transitions in one compiled dispatch.
+
+        ``key`` is split into ``n_steps`` per-transition keys, so
+        ``next_chunk(key, Q, n)`` equals ``next_step`` folded over
+        ``jax.random.split(key, n)`` draw-for-draw. A 2-d ``Q.q`` (C, K) runs
+        the batch-native driver (one tree program for the whole fleet);
+        1-d runs the single-chain fast driver. Returns
+        ``(Q_final, StepwiseChunk)``.
+        """
+        batched = Q.q.ndim == 2
+        return self._jitted_chunk(int(n_steps), batched)(key, Q)
+
     @functools.cached_property
     def _jitted(self):
         def step(key, Q):
             return sample_tree(key, self.algorithm, self.ld, self.metric, Q, self.eps)
 
         return jax.jit(step)
+
+    @functools.cached_property
+    def _jitted_chunk(self):
+        @functools.lru_cache(maxsize=None)
+        def build(n_steps: int, batched: bool):
+            if batched:
+                from .tree_batched import sample_tree_batched
+
+                def transition(k, Q):
+                    return sample_tree_batched(
+                        k, self.algorithm, self.ld, self.metric, Q, self.eps
+                    )
+            else:
+                def transition(k, Q):
+                    return sample_tree(
+                        k, self.algorithm, self.ld, self.metric, Q, self.eps
+                    )
+
+            def chunk(key, Q):
+                keys = jax.random.split(key, n_steps)
+
+                def body(Q, k):
+                    Q_new, stats = transition(k, Q)
+                    return Q_new, (Q_new.q, Q_new.logdensity, stats)
+
+                Q_fin, (qs, lds, stats) = jax.lax.scan(body, Q, keys)
+                return Q_fin, StepwiseChunk(
+                    positions=qs, logdensities=lds, tree_statistics=stats
+                )
+
+            return jax.jit(chunk)
+
+        return build
 
 
 def mcmc_steps(

@@ -154,6 +154,44 @@ def test_stepwise_api():
     assert np.std(np.stack(qs)) > 0.1  # the chain moves
 
 
+def test_stepwise_chunk_matches_next_step():
+    # next_chunk(key, Q, n) == next_step folded over jax.random.split(key, n)
+    # draw-for-draw (the amortized one-dispatch form of the stepwise API)
+    ld = std_mvn(2)
+    out = mcmc_keep_warmup(jax.random.PRNGKey(6), ld, 0, dtype=jnp.float64)
+    state = out["final_warmup_state"]
+    steps = mcmc_steps(ld, NUTS(), state.metric, state.eps)
+    key = jax.random.PRNGKey(42)
+    n = 7
+
+    Q_fin, chunk = steps.next_chunk(key, state.Q, n)
+    assert chunk.positions.shape == (n, 2)
+    assert chunk.logdensities.shape == (n,)
+    assert chunk.tree_statistics.depth.shape == (n,)
+
+    Q = state.Q
+    for i, k in enumerate(jax.random.split(key, n)):
+        Q, stats = steps.next_step(k, Q)
+        np.testing.assert_array_equal(np.asarray(Q.q), np.asarray(chunk.positions[i]))
+        assert int(stats.depth) == int(chunk.tree_statistics.depth[i])
+    np.testing.assert_array_equal(np.asarray(Q.q), np.asarray(Q_fin.q))
+
+    # batched Q (C, K) routes through the batch-native driver; shapes and
+    # chain isolation (distinct chains move independently)
+    from dynamichmc_tpu.hamiltonian import EvaluatedPoint
+    from dynamichmc_tpu.tree_batched import _evaluate_b
+
+    q0 = jnp.stack([state.Q.q, state.Q.q + 0.5])
+    vals, grads = _evaluate_b(ld, q0)
+    Qb = EvaluatedPoint(q=q0, logdensity=vals, grad=grads)
+    Qb_fin, bchunk = steps.next_chunk(key, Qb, n)
+    assert bchunk.positions.shape == (n, 2, 2)
+    assert Qb_fin.q.shape == (2, 2)
+    assert not np.allclose(
+        np.asarray(bchunk.positions[:, 0]), np.asarray(bchunk.positions[:, 1])
+    )
+
+
 def test_eps_specified_blocks_search():
     with pytest.raises(DynamicHMCError):
         mcmc_with_warmup(
