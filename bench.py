@@ -85,7 +85,7 @@ def _stages(metric_kind: str, warm: bool):
     )
 
 
-def _model(dim: int, fused: bool):
+def _model(dim: int, fused: bool, tree_kernel=None):
     """BENCH_MODEL: 'gaussian' (default; BASELINE configs 2/5),
     'stdnormal' (config 1: standard MVN, pair with BENCH_METRIC=diagonal),
     'logreg' (config 3: n_obs=1000 synthetic logistic regression, AD
@@ -111,7 +111,12 @@ def _model(dim: int, fused: bool):
         return std_normal(dim, dtype=jnp.float32)
     from dynamichmc_tpu.models import correlated_gaussian
 
-    return correlated_gaussian(dim, dtype=jnp.float32, fused=fused)
+    # BENCH_TREE_KERNEL=1: whole-transition Pallas kernel (ops/pallas_tree.py)
+    if tree_kernel is None:
+        tree_kernel = bool(int(os.environ.get("BENCH_TREE_KERNEL", "0")))
+    return correlated_gaussian(
+        dim, dtype=jnp.float32, fused=fused, tree_kernel=tree_kernel
+    )
 
 
 def run_auto(n_chains: int, dim: int, n_samples: int):
@@ -268,7 +273,9 @@ def run_cpu_baseline(dim: int, n_samples: int, metric_kind: str):
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        ld = _model(dim, False)
+        # the whole-transition Pallas kernel cannot lower for CPU — the
+        # baseline is the plain XLA model by definition anyway
+        ld = _model(dim, False, tree_kernel=False)
         run_chains(
             jax.random.PRNGKey(9), ld, 1, 8, tune="reference",
             warmup_stages=_stages(metric_kind, warm=True), dtype=jnp.float32,

@@ -45,6 +45,14 @@ class LogDensity:
     ``(metric, q, p, g, eps_signed) -> (q', p', g', ld', pi')`` used by the
     batch-native driver (tree_batched.py): one Pallas kernel per leaf
     (ops/pallas_leaf.py). Same poisoning semantics."""
+    tree_transition_fn: Optional[Callable] = None
+    """Optional whole-transition kernel hook
+    ``(key, algorithm, metric, Q, eps, depth_limit) -> (Q', stats) | None``
+    (ops/pallas_tree.py): the ENTIRE NUTS transition as one Pallas kernel
+    with VMEM-resident tree state. ``sample_tree_batched`` dispatches to it
+    when present and applicable (must return None to decline at trace
+    time); RNG stream and semantics are pinned to the XLA driver by
+    tests/test_pallas_tree.py."""
 
     def logdensity(self, q):
         return self.logdensity_fn(q)

@@ -17,7 +17,10 @@ import numpy as np
 from .base import TestModel
 
 
-def _gaussian_model(mean: jnp.ndarray, cov: np.ndarray, fused: bool = False) -> TestModel:
+def _gaussian_model(
+    mean: jnp.ndarray, cov: np.ndarray, fused: bool = False,
+    tree_kernel: bool = False,
+) -> TestModel:
     mean = jnp.asarray(mean)
     dim = mean.shape[0]
     cov_np = np.asarray(cov, np.float64)
@@ -29,6 +32,15 @@ def _gaussian_model(mean: jnp.ndarray, cov: np.ndarray, fused: bool = False) -> 
     # d . (prec d) quadratic form carries a systematic f32 bias that
     # measurably over-disperses the worst-conditioned coordinates)
     prec_chol_t = jnp.asarray(np.linalg.cholesky(prec_np).T, mean.dtype)
+
+    tree_transition_fn = None
+    if tree_kernel:
+        from ..ops.pallas_tree import make_gaussian_tree_transition
+
+        # same f64-constructed L^T as the fused hooks below
+        tree_transition_fn = make_gaussian_tree_transition(
+            prec, mean, prec_chol_t=prec_chol_t
+        )
 
     fused_leapfrog_fn = None
     fused_leaf_batched_fn = None
@@ -67,6 +79,7 @@ def _gaussian_model(mean: jnp.ndarray, cov: np.ndarray, fused: bool = False) -> 
         logdensity_and_gradient_fn=logdensity_and_gradient_fn,
         fused_leapfrog_fn=fused_leapfrog_fn,
         fused_leaf_batched_fn=fused_leaf_batched_fn,
+        tree_transition_fn=tree_transition_fn,
         sample_fn=sample_fn,
         mean_fn=lambda: mean,
         cov_fn=lambda: jnp.asarray(cov_np),
@@ -100,15 +113,20 @@ def std_normal(dim: int, dtype=jnp.float64) -> TestModel:
     )
 
 
-def mvnormal(mean, cov, fused: bool = False) -> TestModel:
+def mvnormal(
+    mean, cov, fused: bool = False, tree_kernel: bool = False
+) -> TestModel:
     """MVN with the given mean and covariance. ``fused=True`` attaches the
-    single-kernel Pallas leapfrog (ops/pallas_leapfrog.py)."""
-    return _gaussian_model(jnp.asarray(mean), cov, fused=fused)
+    single-kernel Pallas leapfrog (ops/pallas_leapfrog.py); ``tree_kernel=
+    True`` the whole-transition Pallas kernel (ops/pallas_tree.py)."""
+    return _gaussian_model(
+        jnp.asarray(mean), cov, fused=fused, tree_kernel=tree_kernel
+    )
 
 
 def correlated_gaussian(
     dim: int, rho: float = 0.8, seed: int = 0, random_rotation: bool = True,
-    dtype=jnp.float64, fused: bool = False,
+    dtype=jnp.float64, fused: bool = False, tree_kernel: bool = False,
 ) -> TestModel:
     """A dense correlated Gaussian (the BASELINE 100-d benchmark target):
     equicorrelated with coefficient ``rho``, optionally randomly rotated and
@@ -120,7 +138,9 @@ def correlated_gaussian(
         scales = np.exp(rng.uniform(-1, 1, dim))
         base = (q * scales) @ base @ (q * scales).T
     base = (base + base.T) / 2
-    return _gaussian_model(jnp.zeros((dim,), dtype), base, fused=fused)
+    return _gaussian_model(
+        jnp.zeros((dim,), dtype), base, fused=fused, tree_kernel=tree_kernel
+    )
 
 
 def ill_conditioned_gaussian(

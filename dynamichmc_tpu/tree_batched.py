@@ -442,6 +442,22 @@ def sample_tree_batched(
     ref_mode = stack_ref is not None
     if ref_mode and scratch is not None:
         raise ValueError("pass either scratch= or stack_ref=, not both")
+    if (
+        ld.tree_transition_fn is not None
+        and p is None and directions is None and noise is None
+        and not ref_mode and not _ablate
+    ):
+        # whole-transition Pallas kernel (ops/pallas_tree.py): the hook
+        # declines (returns None) at trace time outside its regime, and the
+        # scratch threads through untouched — the kernel keeps its tree
+        # state in VMEM instead
+        out = ld.tree_transition_fn(key, algorithm, metric, Q, eps,
+                                    depth_limit)
+        if out is not None:
+            Q_new, stats = out
+            if scratch is not None:
+                return Q_new, stats, scratch
+            return Q_new, stats
     C, K = Q.q.shape
     dtype = Q.q.dtype
     max_depth = algorithm.max_depth
