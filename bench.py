@@ -111,9 +111,15 @@ def _model(dim: int, fused: bool, tree_kernel=None):
         return std_normal(dim, dtype=jnp.float32)
     from dynamichmc_tpu.models import correlated_gaussian
 
-    # BENCH_TREE_KERNEL=1: whole-transition Pallas kernel (ops/pallas_tree.py)
+    # BENCH_TREE_KERNEL (default 1): whole-transition Pallas tree kernel
+    # (ops/pallas_tree.py) — the entire NUTS transition VMEM-resident, one
+    # kernel per chain block. Measured same-session (round 5): 3.47x the
+    # XLA driver on the sampling scan and 2.93M -> 5.70M end-to-end
+    # min-param ESS/s at IDENTICAL total min ESS (4.732M; the kernel is
+    # pinned transition-for-transition to the XLA driver in
+    # tests/test_pallas_tree.py). main() retries without it on any failure.
     if tree_kernel is None:
-        tree_kernel = bool(int(os.environ.get("BENCH_TREE_KERNEL", "0")))
+        tree_kernel = bool(int(os.environ.get("BENCH_TREE_KERNEL", "1")))
     return correlated_gaussian(
         dim, dtype=jnp.float32, fused=fused, tree_kernel=tree_kernel
     )
@@ -397,11 +403,16 @@ def main():
         positions, seconds, divergences, steps = run_tpu(
             n_chains, dim, n_samples, metric_kind, fused
         )
-    except Exception as exc:  # fused Pallas path is an optimization, not a dep
-        if not fused:
+    except Exception as exc:  # Pallas paths are optimizations, not deps
+        kernel_on = os.environ.get("BENCH_TREE_KERNEL", "1") != "0"
+        if not (fused or kernel_on):
             raise
-        print(f"[bench] fused path failed ({exc!r}); retrying unfused",
-              file=sys.stderr)
+        print(
+            f"[bench] Pallas path failed ({exc!r}); retrying with "
+            "tree kernel + fused leaf off",
+            file=sys.stderr,
+        )
+        os.environ["BENCH_TREE_KERNEL"] = "0"
         positions, seconds, divergences, steps = run_tpu(
             n_chains, dim, n_samples, metric_kind, False
         )
