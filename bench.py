@@ -94,10 +94,21 @@ def _model(dim: int, fused: bool, tree_kernel=None):
     wall/ESS alongside the correctness gates in
     tests/test_sample_correctness.py)."""
     name = os.environ.get("BENCH_MODEL", "gaussian")
+    if tree_kernel is None:
+        tree_kernel = bool(int(os.environ.get("BENCH_TREE_KERNEL", "1")))
     if name == "funnel":
         from dynamichmc_tpu.models import funnel
 
-        return funnel(dim, dtype=jnp.float32)
+        # funnel default: NO tree kernel — measured a tie/slight loss
+        # (1.62 s vs 1.52 s XLA at the funnel config): at dim 25 the XLA
+        # slot moves only ~400 KB/array, so it is not HBM-bound and VMEM
+        # residency buys nothing. BENCH_FUNNEL_TREE_KERNEL=1 to A/B.
+        return funnel(
+            dim, dtype=jnp.float32,
+            tree_kernel=bool(
+                int(os.environ.get("BENCH_FUNNEL_TREE_KERNEL", "0"))
+            ),
+        )
     if name == "logreg":
         from dynamichmc_tpu.models import logistic_regression
 
@@ -118,8 +129,6 @@ def _model(dim: int, fused: bool, tree_kernel=None):
     # min-param ESS/s at IDENTICAL total min ESS (4.732M; the kernel is
     # pinned transition-for-transition to the XLA driver in
     # tests/test_pallas_tree.py). main() retries without it on any failure.
-    if tree_kernel is None:
-        tree_kernel = bool(int(os.environ.get("BENCH_TREE_KERNEL", "1")))
     return correlated_gaussian(
         dim, dtype=jnp.float32, fused=fused, tree_kernel=tree_kernel
     )

@@ -16,8 +16,19 @@ import numpy as np
 from .base import TestModel
 
 
-def funnel(dim: int, sigma_v: float = 3.0, dtype=jnp.float64) -> TestModel:
-    """q = (v, x_1..x_{dim-1})."""
+def funnel(
+    dim: int, sigma_v: float = 3.0, dtype=jnp.float64,
+    tree_kernel: bool = False,
+) -> TestModel:
+    """q = (v, x_1..x_{dim-1}). ``tree_kernel=True`` attaches the
+    whole-transition Pallas kernel (ops/pallas_tree.py, analytic gradient;
+    statistical gates in tests/test_pallas_tree.py)."""
+
+    tree_transition_fn = None
+    if tree_kernel:
+        from ..ops.pallas_tree import make_funnel_tree_transition
+
+        tree_transition_fn = make_funnel_tree_transition(dim, sigma_v)
 
     def logdensity_fn(q):
         v = q[0]
@@ -45,4 +56,5 @@ def funnel(dim: int, sigma_v: float = 3.0, dtype=jnp.float64) -> TestModel:
         logdensity_fn=logdensity_fn,
         sample_fn=sample_fn,
         log_normalization=log_normalization,
+        tree_transition_fn=tree_transition_fn,
     )

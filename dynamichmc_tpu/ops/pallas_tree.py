@@ -79,17 +79,29 @@ def _pick_block(S: int, Kp: int, L_pad: int, max_block: int) -> int:
     return 0
 
 
+def _gaussian_leaf(q_new, model_refs):
+    """models/gaussian.py:54-58, exact orientation: d, L^T d, prec d."""
+    prec, lchol, mu = model_refs
+    d = q_new - mu[:]
+    w = jnp.dot(lchol[:], d, preferred_element_type=jnp.float32)
+    pd = jnp.dot(prec[:], d, preferred_element_type=jnp.float32)
+    return -0.5 * jnp.sum(w * w, axis=0, keepdims=True), -pd
+
+
 def _build_kernel(S: int, Kp: int, B: int, md: int, min_delta: float,
-                  diag: bool):
+                  diag: bool, leaf_builder, n_model: int):
     """The transition kernel body for a (Kp, B) chain block.
 
-    Ref order: 1 scalar-prefetch + 13 inputs, 10 outputs, then scratch:
-    23 (Kp, B) vectors, 5 (S, Kp, B) stacks, and 22 (1, B) per-chain rows.
+    Ref order: 1 scalar-prefetch + 10 generic inputs + minv + ``n_model``
+    model inputs, 10 outputs, then scratch: 23 (Kp, B) vectors,
+    5 (S, Kp, B) stacks, and 27 (1, B) per-chain rows.
     ``diag`` selects the diagonal-metric psharp (elementwise row broadcast)
     vs dense (MXU matmul); both carry psharp in the turn statistic
     (tau_len 5) — for diagonal metrics the two extra stack arrays are
     VMEM-cheap here, unlike the HBM cost that makes tree_batched use the
-    compact 3-statistic.
+    compact 3-statistic. ``leaf_builder(q_new, model_refs) -> (ld, grad)``
+    is the model's value+gradient in K-major layout; -inf poisoning is
+    applied generically around it.
     """
     i32 = jnp.int32
     # plain Python floats: jnp scalars built here would be captured consts,
@@ -99,22 +111,27 @@ def _build_kernel(S: int, Kp: int, B: int, md: int, min_delta: float,
 
     def kernel(dcap_ref,  # scalar prefetch: (1,) SMEM
                q0, p0, g0, ld0, eps, validm, dirs, gum, expo,
-               minv, prec, lchol, mu,
-               qn, gn, ldn, pin, depth_o, tl_o, tr_o, ls_o, st_o, wk_o,
-               # vector scratch (Kp, B)
-               zmq, zmp, zmg, zpq, zpp, zpg, wq, wp, wg,
-               t_pm, t_pp, t_rho, t_spm, t_spp,
-               n_pm, n_pp, n_rho, n_spm, n_spp,
-               bq, bg, pq, pg,
-               # merge stacks (S, Kp, B)
-               s_pm, s_pp, s_rho, s_spm, s_spp,
-               # per-chain rows (1, B): int32 masks/counters
-               r_building, r_terminated, r_turned, r_engaged,
-               r_asteps, r_invl, r_invr, r_tl, r_iminus, r_iplus,
-               r_steps, r_depth, r_tleft, r_tright, r_iedge, r_step,
-               # per-chain rows (1, B): float32
-               r_alogsum, r_aomega, r_bscore, r_bld, r_bpi,
-               r_logsum, r_omega, r_propld, r_proppi, r_pi0, r_epss):
+               minv, *rest):
+        model_refs = rest[:n_model]
+        (qn, gn, ldn, pin, depth_o, tl_o, tr_o, ls_o, st_o, wk_o
+         ) = rest[n_model:n_model + 10]
+        (
+            # vector scratch (Kp, B)
+            zmq, zmp, zmg, zpq, zpp, zpg, wq, wp, wg,
+            t_pm, t_pp, t_rho, t_spm, t_spp,
+            n_pm, n_pp, n_rho, n_spm, n_spp,
+            bq, bg, pq, pg,
+            # merge stacks (S, Kp, B)
+            s_pm, s_pp, s_rho, s_spm, s_spp,
+            # per-chain rows (1, B): int32 masks/counters
+            r_building, r_terminated, r_turned, r_engaged,
+            r_asteps, r_invl, r_invr, r_tl, r_iminus, r_iplus,
+            r_steps, r_depth, r_tleft, r_tright, r_iedge, r_step,
+            # per-chain rows (1, B): float32
+            r_alogsum, r_aomega, r_bscore, r_bld, r_bpi,
+            r_logsum, r_omega, r_propld, r_proppi, r_pi0, r_epss,
+        ) = rest[n_model + 10:]
+
         def psharp(p):
             if diag:
                 return p * minv[:]  # minv (Kp, 1) broadcasts over chains
@@ -130,12 +147,8 @@ def _build_kernel(S: int, Kp: int, B: int, md: int, min_delta: float,
             return jnp.where(jnp.isfinite(ld_vals), ld_vals - k, NEG), sp
 
         def leaf_eval(q_new):
-            # models/gaussian.py:54-58, exact orientation: d, L^T d, prec d
-            d = q_new - mu[:]
-            w = jnp.dot(lchol[:], d, preferred_element_type=jnp.float32)
-            pd = jnp.dot(prec[:], d, preferred_element_type=jnp.float32)
-            g_new = -pd
-            ldv = -0.5 * colsum(w * w)
+            ldv, g_new = leaf_builder(q_new, model_refs)
+            # -inf poisoning, identical to tree_batched._evaluate_b
             ok = jnp.isfinite(ldv) & jnp.all(
                 jnp.isfinite(g_new), axis=0, keepdims=True
             )
@@ -409,9 +422,16 @@ def _build_kernel(S: int, Kp: int, B: int, md: int, min_delta: float,
 
 @functools.lru_cache(maxsize=None)
 def _tree_call(S: int, Kp: int, B: int, L: int, md: int,
-               min_delta: float, diag: bool, interpret: bool):
-    """Cached pallas_call closure for one (shape, config) signature."""
-    kernel = _build_kernel(S, Kp, B, md, min_delta, diag)
+               min_delta: float, diag: bool, interpret: bool,
+               leaf_builder, model_spec: tuple):
+    """Cached pallas_call closure for one (shape, config, model) signature.
+
+    ``model_spec`` is a tuple of layout tokens for the model's extra kernel
+    inputs: "mat" = (Kp, Kp) full matrix, "col" = (Kp, 1) column. The
+    ``leaf_builder`` function object is part of the cache key — build one
+    per model instance and reuse it."""
+    kernel = _build_kernel(S, Kp, B, md, min_delta, diag, leaf_builder,
+                           len(model_spec))
     D = md
     Lp = _round_up(max(L, 1), 8)
     # index maps receive (*grid_indices, *scalar_prefetch_refs)
@@ -426,16 +446,19 @@ def _tree_call(S: int, Kp: int, B: int, L: int, md: int,
         ((Kp, 1) if diag else (Kp, Kp)), fix, memory_space=pltpu.VMEM,
     )
     mat_full = pl.BlockSpec((Kp, Kp), fix, memory_space=pltpu.VMEM)
-    mu_spec = pl.BlockSpec((Kp, 1), fix, memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((Kp, 1), fix, memory_space=pltpu.VMEM)
+    model_specs = [
+        mat_full if tok == "mat" else col_spec for tok in model_spec
+    ]
 
     def call(cp, dcap, q0, p0, g0, ld0, eps, validm, dirs, gum, expo,
-             minv, prec, lchol, mu):
+             minv, *model_arrays):
         f32, i32v = jnp.float32, jnp.int32
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(cp // B,),
             in_specs=[vec, vec, vec, row, row, row, row, gum_spec,
-                      expo_spec, mat, mat_full, mat_full, mu_spec],
+                      expo_spec, mat] + model_specs,
             out_specs=[vec, vec, row, row, row, row, row, row, row, row],
             scratch_shapes=(
                 [pltpu.VMEM((Kp, B), f32) for _ in range(23)]
@@ -461,7 +484,7 @@ def _tree_call(S: int, Kp: int, B: int, L: int, md: int,
             ],
             interpret=interpret,
         )(dcap, q0, p0, g0, ld0, eps, validm, dirs, gum, expo,
-          minv, prec, lchol, mu)
+          minv, *model_arrays)
 
     return call
 
@@ -492,21 +515,26 @@ def _leaf_noise(k_tree, md: int, C: int):
     return gum, expo
 
 
-def make_gaussian_tree_transition(
-    prec: jnp.ndarray,
-    mu: Optional[jnp.ndarray] = None,
-    prec_chol_t: Optional[jnp.ndarray] = None,
+def make_tree_transition(
+    leaf_builder,
+    model_spec: tuple,
+    model_arrays: tuple,
+    dim: int,
     block_c: int = 256,
     interpret: Optional[bool] = None,
 ):
-    """Hook for ``LogDensity.tree_transition_fn``:
+    """Generic hook factory for ``LogDensity.tree_transition_fn``:
 
     ``(key, algorithm, metric, Q, eps, depth_limit) -> (Q', stats) | None``
 
+    ``leaf_builder(q_new, model_refs) -> (ld (1, B), grad (Kp, B))`` emits
+    the model's value+gradient in K-major layout inside the kernel (bake
+    static scalars into the closure; pass arrays via ``model_arrays`` with
+    layout tokens in ``model_spec``: "mat" = (Kp, Kp), "col" = (Kp, 1)).
+
     Returns ``None`` (dispatcher falls back to the XLA driver) when the
     configuration is outside the kernel's regime: non-f32 chains, per-chain
-    metric arrays, or a block size that cannot fit VMEM. Shares the model's
-    f64-constructed ``prec_chol_t`` (see models/gaussian.py:39-43).
+    metric arrays, or a block size that cannot fit VMEM.
 
     ``work`` (the straggler instrumentation) is the executed slot count of
     the chain's OWN block — the kernel's lockstep bound is per-block, not
@@ -514,32 +542,10 @@ def make_gaussian_tree_transition(
     per-block waste; a kernel slot wasted on terminated lanes also costs
     only VMEM ops, not HBM passes.
     """
-    import numpy as _np
-
-    prec_full = jnp.asarray(prec)
-    k = prec_full.shape[0]
-    mu_full = (
-        jnp.zeros((k,), prec_full.dtype) if mu is None else jnp.asarray(mu)
-    )
-    if prec_chol_t is None:
-        prec_chol_t = jnp.asarray(
-            _np.linalg.cholesky(
-                _np.asarray(prec_full, _np.float64)
-            ).T.astype(_np.asarray(prec_full).dtype)
-        )
+    k = dim
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     Kp = _round_up(k, 128)
-    prec_p = jnp.pad(
-        prec_full.astype(jnp.float32), ((0, Kp - k), (0, Kp - k))
-    )
-    lchol_p = jnp.pad(
-        jnp.asarray(prec_chol_t).astype(jnp.float32),
-        ((0, Kp - k), (0, Kp - k)),
-    )
-    mu_p = jnp.pad(
-        mu_full.astype(jnp.float32)[:, None], ((0, Kp - k), (0, 0))
-    )
 
     def transition(key, algorithm: NUTS, metric: Metric, Q: EvaluatedPoint,
                    eps, depth_limit=None):
@@ -605,13 +611,13 @@ def make_gaussian_tree_transition(
         validm = pad_row(jnp.ones((C,), i32v))
 
         call = _tree_call(S, Kp, B, L, md, float(algorithm.min_delta),
-                          diag, interpret)
+                          diag, interpret, leaf_builder, tuple(model_spec))
         out = call(
             cp, dcap[None], pad_vec(Q.q), pad_vec(p0),
             pad_vec(Q.grad), pad_row(Q.logdensity.astype(f32)),
             pad_row(eps_b), validm,
             pad_row(dirs), gum_p, expo_p,
-            minv_in, prec_p, lchol_p, mu_p,
+            minv_in, *model_arrays,
         )
         (qn, gn, ldn, pin, depth, tl, tr, ls, st, wk) = out
         qn = qn[:Q.q.shape[1], :C].T
@@ -633,3 +639,80 @@ def make_gaussian_tree_transition(
         return Q_new, stats
 
     return transition
+
+
+def make_gaussian_tree_transition(
+    prec: jnp.ndarray,
+    mu: Optional[jnp.ndarray] = None,
+    prec_chol_t: Optional[jnp.ndarray] = None,
+    block_c: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """Whole-transition kernel for Gaussian targets (models/gaussian.py).
+    Shares the model's f64-constructed ``prec_chol_t`` (gaussian.py:39-43);
+    the leaf math matches the model's per-chain orientation op-for-op, so
+    the kernel is bitwise-pinned to the XLA driver in practice."""
+    import numpy as _np
+
+    prec_full = jnp.asarray(prec)
+    k = prec_full.shape[0]
+    mu_full = (
+        jnp.zeros((k,), prec_full.dtype) if mu is None else jnp.asarray(mu)
+    )
+    if prec_chol_t is None:
+        prec_chol_t = jnp.asarray(
+            _np.linalg.cholesky(
+                _np.asarray(prec_full, _np.float64)
+            ).T.astype(_np.asarray(prec_full).dtype)
+        )
+    Kp = _round_up(k, 128)
+    prec_p = jnp.pad(
+        prec_full.astype(jnp.float32), ((0, Kp - k), (0, Kp - k))
+    )
+    lchol_p = jnp.pad(
+        jnp.asarray(prec_chol_t).astype(jnp.float32),
+        ((0, Kp - k), (0, Kp - k)),
+    )
+    mu_p = jnp.pad(
+        mu_full.astype(jnp.float32)[:, None], ((0, Kp - k), (0, 0))
+    )
+    return make_tree_transition(
+        _gaussian_leaf, ("mat", "mat", "col"), (prec_p, lchol_p, mu_p),
+        k, block_c=block_c, interpret=interpret,
+    )
+
+
+def make_funnel_tree_transition(
+    dim: int,
+    sigma_v: float = 3.0,
+    block_c: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """Whole-transition kernel for Neal's funnel (models/funnel.py:22-28):
+    v = q[0], x = q[1:]; lp = -0.5 (v/sigma_v)^2 - 0.5 (dim-1) v
+    - 0.5 e^{-v} sum x^2. The gradient is analytic (the model uses AD), so
+    the kernel agrees with the XLA driver to float32 tolerance, not
+    bitwise; the funnel gates are statistical (test_pallas_tree.py).
+
+    Purely elementwise — no MXU work — so the kernel's win here is entirely
+    the VMEM residency + per-block tree loops (the funnel's depth
+    heterogeneity is what makes fleet-lockstep so wasteful: BENCH_NOTES
+    round-4 funnel analysis)."""
+    sv2 = float(sigma_v) ** 2
+    half_km1 = 0.5 * (dim - 1)
+
+    def funnel_leaf(q_new, model_refs):
+        del model_refs
+        v = q_new[0:1, :]  # (1, B)
+        total = jnp.sum(q_new * q_new, axis=0, keepdims=True)
+        x2 = total - v * v
+        emv = jnp.exp(-v)
+        ld = -0.5 * (v * v) / sv2 - half_km1 * v - 0.5 * emv * x2
+        gv = -v / sv2 - half_km1 + 0.5 * emv * x2
+        row = jax.lax.broadcasted_iota(jnp.int32, q_new.shape, 0)
+        grad = jnp.where(row == 0, gv, -emv * q_new)
+        return ld, grad
+
+    return make_tree_transition(
+        funnel_leaf, (), (), dim, block_c=block_c, interpret=interpret,
+    )

@@ -145,6 +145,82 @@ def test_kernel_declines_f64_and_per_chain_metric():
     np.testing.assert_array_equal(np.asarray(a[0].q), np.asarray(b[0].q))
 
 
+def test_funnel_kernel_matches_driver():
+    """Funnel leaf is analytic-gradient in the kernel vs AD in the model, so
+    agreement is float32-tolerance (not bitwise); branch decisions (depths,
+    steps, terminations) must still match at these scales."""
+    from dynamichmc_tpu.models import funnel
+
+    K, C = 5, 12
+    ld_p = funnel(K, dtype=jnp.float32)
+    ld_k = funnel(K, dtype=jnp.float32, tree_kernel=True)
+    metric = diagonal_metric(jnp.ones((K,), jnp.float32))
+    algo = NUTS(max_depth=4)
+    q0 = jnp.asarray(
+        np.random.default_rng(0).normal(size=(C, K)) * 0.5, jnp.float32
+    )
+    vals, grads = _evaluate_b(ld_p, q0)
+    Q = EvaluatedPoint(q=q0, logdensity=vals, grad=grads)
+    for eps in (0.05, 0.3):
+        a = sample_tree_batched(
+            jax.random.PRNGKey(11), algo, ld_p, metric, Q, eps
+        )
+        b = sample_tree_batched(
+            jax.random.PRNGKey(11), algo, ld_k, metric, Q, eps
+        )
+        np.testing.assert_allclose(
+            np.asarray(a[0].q), np.asarray(b[0].q), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a[1].depth), np.asarray(b[1].depth)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a[1].steps), np.asarray(b[1].steps)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a[1].term_left), np.asarray(b[1].term_left)
+        )
+
+
+@pytest.mark.slow
+def test_funnel_kernel_end_to_end():
+    """Kernel-driven funnel run recovers the v-marginal (v ~ N(0, 3^2)) —
+    the statistical gate for the analytic-gradient funnel leaf."""
+    from dynamichmc_tpu.models import funnel
+    from dynamichmc_tpu.parallel import run_chains
+    from dynamichmc_tpu.stepsize import InitialStepsizeSearch
+    from dynamichmc_tpu.warmup import TuningNUTS
+
+    K, C, N = 5, 64, 256
+    stages = (
+        InitialStepsizeSearch(),
+        TuningNUTS(N=50, metric_kind="diagonal", pooled=True),
+        TuningNUTS(N=50, metric_kind="diagonal", pooled=True),
+    )
+    out = {}
+    for name, tk in (("kernel", True), ("plain", False)):
+        res = run_chains(
+            jax.random.PRNGKey(5), funnel(K, dtype=jnp.float32,
+                                          tree_kernel=tk),
+            n_chains=C, n_samples=N,
+            dtype=jnp.float32, tune="reference", warmup_stages=stages,
+            algorithm=NUTS(max_depth=7), warmup_depth_clamp=2,
+            warmup_depth_clamp_tail=5,
+        )
+        v = np.asarray(res.positions, np.float64)[:, :, 0].ravel()
+        div = int(np.asarray(res.tree_statistics.is_divergent).sum())
+        out[name] = (v, div)
+    # v ~ N(0, 9); this SHORT warmup under-adapts eps on the funnel (the
+    # plain model diverges ~4% here too), so the gate is comparative: the
+    # kernel must behave like the XLA driver at the same config, and both
+    # must recover the v-marginal's scale
+    for v, _div in out.values():
+        assert abs(v.mean()) < 0.8
+        assert 2.0 < v.std() < 4.0
+    k_div, p_div = out["kernel"][1], out["plain"][1]
+    assert k_div < max(3 * p_div, 0.01 * C * N)
+
+
 @pytest.mark.slow
 def test_kernel_end_to_end_run_chains():
     """Full engine path (warmup clamp + adaptation + sampling) on the kernel
