@@ -112,9 +112,19 @@ def _model(dim: int, fused: bool, tree_kernel=None):
     if name == "logreg":
         from dynamichmc_tpu.models import logistic_regression
 
+        # logreg default: NO tree kernel — measured a LOSS at the winning
+        # fused-leaf config (K=128, n_obs=4000, 2048 chains: tree kernel
+        # 1.87 s vs fused leaf 1.03 s vs AD 1.81 s). The logreg leaf is
+        # MXU-compute-bound (4.2 GFLOP/fleet-leaf), so tree-state VMEM
+        # residency buys nothing and the in-kernel serialization loses the
+        # fused leaf's cross-leaf pipelining. BENCH_LOGREG_TREE_KERNEL=1
+        # to A/B; BENCH_FUSED selects the winning fused-leaf kernel.
         return logistic_regression(
             n_obs=int(os.environ.get("BENCH_NOBS", "1000")),
             dim=dim, dtype=jnp.float32, fused=fused,
+            tree_kernel="auto" if int(
+                os.environ.get("BENCH_LOGREG_TREE_KERNEL", "0")
+            ) else False,
         )
     if name == "stdnormal":
         from dynamichmc_tpu.models import std_normal

@@ -21,6 +21,7 @@ def logistic_regression(
     prior_scale: float = 10.0,
     dtype=jnp.float64,
     fused=False,
+    tree_kernel=False,
 ) -> TestModel:
     """Synthetic logistic regression: X ~ N(0, I), true beta ~ N(0, 1),
     y ~ Bernoulli(sigmoid(X beta)); weakly-informative normal prior.
@@ -33,7 +34,12 @@ def logistic_regression(
     ``fused="auto"`` attaches the kernel only where it is measured to win:
     MXU-lane-filling dims (kp/dim <= ops.pallas_logreg.FUSED_MAX_PAD_RATIO;
     at dim 25 the 5.1x lane padding made it 0.87x vs XLA AD), a
-    VMEM-resident design matrix, and the TPU backend at trace time."""
+    VMEM-resident design matrix, and the TPU backend at trace time.
+
+    ``tree_kernel`` (False | True | "auto") attaches the whole-transition
+    Pallas kernel (ops/pallas_tree.py) instead: the entire NUTS transition
+    VMEM-resident INCLUDING X — it supersedes the fused leaf when both are
+    set ("auto" applies the same lane-padding regime gate)."""
     rng = np.random.RandomState(seed)
     x_np = rng.randn(n_obs, dim)
     beta_true = rng.randn(dim)
@@ -56,6 +62,18 @@ def logistic_regression(
             x_np, y_np, prior_scale=prior_scale, tpu_only=auto
         )
 
+    tree_transition_fn = None
+    if tree_kernel == "auto":
+        from ..ops.pallas_logreg import fused_leaf_pays
+
+        tree_kernel = fused_leaf_pays(n_obs, dim)
+    if tree_kernel:
+        from ..ops.pallas_tree import make_logreg_tree_transition
+
+        tree_transition_fn = make_logreg_tree_transition(
+            x_np, y_np, prior_scale=prior_scale
+        )
+
     def logdensity_fn(beta):
         logits = x.astype(beta.dtype) @ beta
         # sum of y*logits - log(1 + e^logits), numerically stable
@@ -69,4 +87,5 @@ def logistic_regression(
         dim=dim,
         logdensity_fn=logdensity_fn,
         fused_leaf_batched_fn=fused_leaf_batched_fn,
+        tree_transition_fn=tree_transition_fn,
     )

@@ -66,13 +66,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_block(S: int, Kp: int, L_pad: int, max_block: int) -> int:
+def _pick_block(S: int, Kp: int, L_pad: int, max_block: int,
+                model_bytes: int = 0) -> int:
     """Largest block size B (multiple of 128 lanes; min 128) whose persistent
     state fits the VMEM budget: 23 (Kp, B) vector arrays + 5 stack arrays of
-    (S, Kp, B) + the (L_pad, B) noise block (per-chain rows are negligible)."""
+    (S, Kp, B) + the (L_pad, B) noise block + the model's resident arrays
+    (per-chain rows are negligible)."""
     b = max_block
     while b >= 128:
-        state = (23 + 5 * S) * Kp * b * 4 + L_pad * b * 4
+        state = (23 + 5 * S) * Kp * b * 4 + L_pad * b * 4 + model_bytes
         if state <= _VMEM_STATE_BUDGET:
             return b
         b //= 2
@@ -426,8 +428,8 @@ def _tree_call(S: int, Kp: int, B: int, L: int, md: int,
                leaf_builder, model_spec: tuple):
     """Cached pallas_call closure for one (shape, config, model) signature.
 
-    ``model_spec`` is a tuple of layout tokens for the model's extra kernel
-    inputs: "mat" = (Kp, Kp) full matrix, "col" = (Kp, 1) column. The
+    ``model_spec`` is a tuple of 2-D shapes for the model's extra kernel
+    inputs (each loaded whole into VMEM, shared by every grid step). The
     ``leaf_builder`` function object is part of the cache key — build one
     per model instance and reuse it."""
     kernel = _build_kernel(S, Kp, B, md, min_delta, diag, leaf_builder,
@@ -445,10 +447,9 @@ def _tree_call(S: int, Kp: int, B: int, L: int, md: int,
     mat = pl.BlockSpec(
         ((Kp, 1) if diag else (Kp, Kp)), fix, memory_space=pltpu.VMEM,
     )
-    mat_full = pl.BlockSpec((Kp, Kp), fix, memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((Kp, 1), fix, memory_space=pltpu.VMEM)
     model_specs = [
-        mat_full if tok == "mat" else col_spec for tok in model_spec
+        pl.BlockSpec(tuple(shape), fix, memory_space=pltpu.VMEM)
+        for shape in model_spec
     ]
 
     def call(cp, dcap, q0, p0, g0, ld0, eps, validm, dirs, gum, expo,
@@ -517,7 +518,6 @@ def _leaf_noise(k_tree, md: int, C: int):
 
 def make_tree_transition(
     leaf_builder,
-    model_spec: tuple,
     model_arrays: tuple,
     dim: int,
     block_c: int = 256,
@@ -530,7 +530,8 @@ def make_tree_transition(
     ``leaf_builder(q_new, model_refs) -> (ld (1, B), grad (Kp, B))`` emits
     the model's value+gradient in K-major layout inside the kernel (bake
     static scalars into the closure; pass arrays via ``model_arrays`` with
-    layout tokens in ``model_spec``: "mat" = (Kp, Kp), "col" = (Kp, 1)).
+    their 2-D shapes in ``model_spec`` — each is loaded whole into VMEM and
+    shared by every chain block).
 
     Returns ``None`` (dispatcher falls back to the XLA driver) when the
     configuration is outside the kernel's regime: non-f32 chains, per-chain
@@ -546,6 +547,8 @@ def make_tree_transition(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     Kp = _round_up(k, 128)
+    model_spec = tuple(tuple(a.shape) for a in model_arrays)
+    model_bytes = sum(int(a.size) * 4 for a in model_arrays)
 
     def transition(key, algorithm: NUTS, metric: Metric, Q: EvaluatedPoint,
                    eps, depth_limit=None):
@@ -572,7 +575,7 @@ def make_tree_transition(
         S = md
         L = (1 << md) - 1
         Lp = _round_up(max(L, 1), 8)
-        B = _pick_block(S, Kp, Lp, block_c)
+        B = _pick_block(S, Kp, Lp, block_c, model_bytes)
         if B == 0:
             return None
         cp = _round_up(C, B)
@@ -611,7 +614,7 @@ def make_tree_transition(
         validm = pad_row(jnp.ones((C,), i32v))
 
         call = _tree_call(S, Kp, B, L, md, float(algorithm.min_delta),
-                          diag, interpret, leaf_builder, tuple(model_spec))
+                          diag, interpret, leaf_builder, model_spec)
         out = call(
             cp, dcap[None], pad_vec(Q.q), pad_vec(p0),
             pad_vec(Q.grad), pad_row(Q.logdensity.astype(f32)),
@@ -677,7 +680,7 @@ def make_gaussian_tree_transition(
         mu_full.astype(jnp.float32)[:, None], ((0, Kp - k), (0, 0))
     )
     return make_tree_transition(
-        _gaussian_leaf, ("mat", "mat", "col"), (prec_p, lchol_p, mu_p),
+        _gaussian_leaf, (prec_p, lchol_p, mu_p),
         k, block_c=block_c, interpret=interpret,
     )
 
@@ -714,5 +717,66 @@ def make_funnel_tree_transition(
         return ld, grad
 
     return make_tree_transition(
-        funnel_leaf, (), (), dim, block_c=block_c, interpret=interpret,
+        funnel_leaf, (), dim, block_c=block_c, interpret=interpret,
+    )
+
+
+def make_logreg_tree_transition(
+    x,
+    y,
+    prior_scale: float = 10.0,
+    block_c: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """Whole-transition kernel for Bayesian logistic regression
+    (models/logreg.py:59-66): the design matrix X AND its transpose stay
+    VMEM-resident across the entire transition — on top of the tree state,
+    this removes the per-leaf HBM re-reads of X that the fused-leaf kernel
+    (ops/pallas_logreg.py) already measured as the AD path's dominant cost
+    at n_obs=4000 (1.76x). Per-leaf: logits = X q (MXU), stable
+    log-sigmoid reduction over observations, grad = X^T (y - sigmoid)
+    - q / prior_scale^2 (MXU).
+
+    Padded observation rows are masked out (an unmasked zero logit would
+    shift the log density by -log 2 per pad row); padded parameter rows
+    hold zeros through both matmuls. The gradient is analytic vs the
+    model's AD, so agreement is float32-tolerance (statistical gates).
+    """
+    import numpy as _np
+
+    x_np = _np.asarray(x, _np.float32)
+    y_np = _np.asarray(y, _np.float32)
+    n_obs, k = x_np.shape
+    Kp = _round_up(k, 128)
+    np_p = _round_up(n_obs, 8)
+    x_p = jnp.asarray(_np.pad(x_np, ((0, np_p - n_obs), (0, Kp - k))))
+    xt_p = jnp.asarray(x_p.T)
+    y_col = jnp.asarray(
+        _np.pad(y_np, (0, np_p - n_obs))[:, None]
+    )
+    obs_mask = jnp.asarray(
+        _np.pad(_np.ones((n_obs,), _np.float32), (0, np_p - n_obs))[:, None]
+    )
+    inv_s2 = 1.0 / float(prior_scale) ** 2
+
+    def logreg_leaf(q_new, model_refs):
+        X, Xt, yc, mask = model_refs
+        logits = jnp.dot(X[:], q_new, preferred_element_type=jnp.float32)
+        # sum_i y_i l_i - logaddexp(0, l_i), pad rows masked
+        ll = jnp.sum(
+            mask[:] * (yc[:] * logits - jnp.logaddexp(0.0, logits)),
+            axis=0, keepdims=True,
+        )
+        prior = -0.5 * inv_s2 * jnp.sum(
+            q_new * q_new, axis=0, keepdims=True
+        )
+        resid = mask[:] * (yc[:] - jax.nn.sigmoid(logits))
+        grad = jnp.dot(
+            Xt[:], resid, preferred_element_type=jnp.float32
+        ) - inv_s2 * q_new
+        return ll + prior, grad
+
+    return make_tree_transition(
+        logreg_leaf, (x_p, xt_p, y_col, obs_mask),
+        k, block_c=block_c, interpret=interpret,
     )

@@ -182,6 +182,47 @@ def test_funnel_kernel_matches_driver():
         )
 
 
+def test_logreg_kernel_matches_driver():
+    """Logreg leaf is analytic-gradient in the kernel vs AD in the model;
+    branch decisions must match, values to float32 tolerance. Exercises the
+    obs-axis padding mask (n_obs not a multiple of 8 would shift the log
+    density by -log 2 per pad row if unmasked)."""
+    from dynamichmc_tpu.models import logistic_regression
+
+    K, C, NOBS = 7, 10, 53  # NOBS deliberately not a multiple of 8
+    ld_p = logistic_regression(n_obs=NOBS, dim=K, dtype=jnp.float32)
+    ld_k = logistic_regression(
+        n_obs=NOBS, dim=K, dtype=jnp.float32, tree_kernel=True
+    )
+    metric = diagonal_metric(jnp.ones((K,), jnp.float32))
+    algo = NUTS(max_depth=4)
+    q0 = jnp.asarray(
+        np.random.default_rng(0).normal(size=(C, K)) * 0.3, jnp.float32
+    )
+    vals, grads = _evaluate_b(ld_p, q0)
+    Q = EvaluatedPoint(q=q0, logdensity=vals, grad=grads)
+    for eps in (0.05, 0.2):
+        a = sample_tree_batched(
+            jax.random.PRNGKey(3), algo, ld_p, metric, Q, eps
+        )
+        b = sample_tree_batched(
+            jax.random.PRNGKey(3), algo, ld_k, metric, Q, eps
+        )
+        np.testing.assert_allclose(
+            np.asarray(a[0].q), np.asarray(b[0].q), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(a[0].logdensity), np.asarray(b[0].logdensity),
+            atol=1e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a[1].depth), np.asarray(b[1].depth)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a[1].steps), np.asarray(b[1].steps)
+        )
+
+
 @pytest.mark.slow
 def test_funnel_kernel_end_to_end():
     """Kernel-driven funnel run recovers the v-marginal (v ~ N(0, 3^2)) —
