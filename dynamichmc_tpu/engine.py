@@ -679,6 +679,16 @@ def execute(
             )
         eps, success, l0 = programs.search(key_fold(0), Q, metric)
         search_results = {"eps": eps, "success": success, "l0": l0}
+        # the success/l0 flags are validated AFTER the run (see the caller's
+        # note in parallel/chains.py) — start their device-to-host copies
+        # now so the final _check_stepsize_search reads an already-landed
+        # host buffer instead of paying 2 blocking tunnel RPCs (~0.1 s)
+        # inside the timed window
+        for _arr in (success, l0):
+            try:
+                _arr.copy_to_host_async()
+            except Exception:
+                break  # optional fast path; np.asarray still works later
     elif eps is None:
         raise DynamicHMCError("no stepsize: provide eps or a search stage")
     if log is not None:
